@@ -1,0 +1,404 @@
+"""The learnable Gaussian scene on fixed-capacity TPU buffers.
+
+Capability parity with the reference ``GaussianModel``
+(scene/gaussian_model.py:24-407): raw parameters + activations, Adam with
+per-group learning rates and an exponential xyz schedule, SH-degree
+annealing, adaptive density control (clone / split / prune / opacity reset),
+and densification-stat accumulation.
+
+TPU-native redesign decisions:
+
+- PyTorch grows/shrinks parameter tensors and performs optimizer-state
+  surgery on every densify step (reference scene/gaussian_model.py:258-327).
+  XLA wants static shapes, so parameters live in CAPACITY-sized arrays with
+  an ``active`` mask; clone/split write into free slots, prune clears mask
+  bits, and the Adam moments of touched rows are zeroed — the exact effect
+  of the reference's `cat_tensors_to_optimizer` / `_prune_optimizer`.
+- All density-control ops are pure jitted functions `state -> state` with a
+  PRNG key (reference mutates in place under torch.no_grad).
+- The screen-space gradient accumulation (reference
+  `add_densification_stats`, :405-407) consumes the dL/dmeans2D harvested
+  via ``means2d_offset`` (see ops/rasterize.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaussian_splatting_with_eye_tracking_tpu.config import OptimizationConfig
+from gaussian_splatting_with_eye_tracking_tpu.ops import knn as knn_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import sh as sh_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import transforms as tf
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+class GaussianParams(NamedTuple):
+    """Raw (pre-activation) parameters, capacity-padded.
+
+    Mirrors reference _xyz/_features_dc/_features_rest/_scaling/_rotation/
+    _opacity (scene/gaussian_model.py:46-52). SH layout: (C, 3, K) with
+    column 0 the DC term.
+    """
+
+    xyz: jnp.ndarray  # (C, 3)
+    f_dc: jnp.ndarray  # (C, 3, 1)
+    f_rest: jnp.ndarray  # (C, 3, K-1)
+    scaling: jnp.ndarray  # (C, 3) log-scale
+    rotation: jnp.ndarray  # (C, 4) unnormalized quaternion (wxyz)
+    opacity: jnp.ndarray  # (C, 1) logit
+
+
+class GaussianModelState(NamedTuple):
+    params: GaussianParams
+    active: jnp.ndarray  # (C,) bool
+    max_radii2d: jnp.ndarray  # (C,) float32
+    xyz_grad_accum: jnp.ndarray  # (C,) float32
+    denom: jnp.ndarray  # (C,) float32
+    opt_state: Any
+    sh_degree: jnp.ndarray  # () int32 current active degree (annealed)
+
+
+# ---------------------------------------------------------------------------
+# Activations (reference scene/gaussian_model.py:26-41)
+# ---------------------------------------------------------------------------
+
+
+def get_scaling(p: GaussianParams) -> jnp.ndarray:
+    return jnp.exp(p.scaling)
+
+
+def get_opacity(p: GaussianParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(p.opacity[:, 0])
+
+
+def get_rotation(p: GaussianParams) -> jnp.ndarray:
+    return p.rotation / jnp.linalg.norm(p.rotation, axis=-1, keepdims=True)
+
+
+def get_sh(p: GaussianParams) -> jnp.ndarray:
+    return jnp.concatenate([p.f_dc, p.f_rest], axis=-1)  # (C, 3, K)
+
+
+def get_covariance(p: GaussianParams, scale_modifier: float = 1.0) -> jnp.ndarray:
+    return tf.build_cov3d(get_scaling(p), p.rotation, scale_modifier)
+
+
+def num_active(state: GaussianModelState) -> jnp.ndarray:
+    return jnp.sum(state.active)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (reference training_setup, scene/gaussian_model.py:149-175)
+# ---------------------------------------------------------------------------
+
+
+def expon_lr_schedule(lr_init, lr_final, lr_delay_mult, max_steps):
+    """Plenoxels-style log-linear LR decay with a delayed sine warmup
+    (reference get_expon_lr_func, utils/general_utils.py:29-62)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        log_lerp = jnp.exp(
+            jnp.log(lr_init) * (1 - t) + jnp.log(max(lr_final, 1e-32)) * t
+        )
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / max(1, max_steps * 0.01), 0.0, 1.0)
+        )
+        # the reference applies no warmup when lr_delay_steps == 0 (default)
+        del delay
+        return log_lerp
+
+    return schedule
+
+
+def make_optimizer(opt: OptimizationConfig, spatial_lr_scale: float):
+    """Per-group Adam, eps 1e-15 (reference scene/gaussian_model.py:149-167).
+    f_rest lr = feature_lr / 20 (reference :156)."""
+    xyz_sched = expon_lr_schedule(
+        opt.position_lr_init * spatial_lr_scale,
+        opt.position_lr_final * spatial_lr_scale,
+        opt.position_lr_delay_mult,
+        opt.position_lr_max_steps,
+    )
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=opt.adam_eps)
+
+    tx = optax.multi_transform(
+        {
+            "xyz": adam(xyz_sched),
+            "f_dc": adam(opt.feature_lr),
+            "f_rest": adam(opt.feature_lr / 20.0),
+            "opacity": adam(opt.opacity_lr),
+            "scaling": adam(opt.scaling_lr),
+            "rotation": adam(opt.rotation_lr),
+        },
+        GaussianParams(
+            xyz="xyz", f_dc="f_dc", f_rest="f_rest",
+            scaling="scaling", rotation="rotation", opacity="opacity",
+        ),
+    )
+    return tx
+
+
+def _edit_opt_state_rows(opt_state, rows_mask=None, capacity=None, fields=None):
+    """Zero Adam moments (mu/nu) on masked rows — the reference's optimizer
+    surgery (scene/gaussian_model.py:258-327) on static buffers.
+
+    rows_mask: (C,) bool of rows to zero. fields: optional set of param field
+    names to restrict to (for opacity reset's replace_tensor_to_optimizer).
+    """
+
+    def fix(x):
+        if isinstance(x, GaussianParams):
+            return GaussianParams(*[
+                _zero_rows(v, rows_mask, capacity)
+                if (fields is None or name in fields) else v
+                for name, v in zip(GaussianParams._fields, x)
+            ])
+        return x
+
+    def _zero_rows(v, mask, cap):
+        if not hasattr(v, "shape") or v.ndim == 0 or v.shape[0] != cap:
+            return v
+        m = mask.reshape((cap,) + (1,) * (v.ndim - 1))
+        return jnp.where(m, 0.0, v)
+
+    return jax.tree_util.tree_map(
+        fix, opt_state, is_leaf=lambda x: isinstance(x, GaussianParams)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Construction (reference create_from_pcd, scene/gaussian_model.py:124-147)
+# ---------------------------------------------------------------------------
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(1, (n - 1)).bit_length()
+
+
+def create_from_points(
+    points: np.ndarray,
+    colors: np.ndarray,
+    max_sh_degree: int,
+    opt: OptimizationConfig,
+    spatial_lr_scale: float,
+    capacity: int = 0,
+) -> tuple[GaussianModelState, Any]:
+    """Initialize from a point cloud: SH DC from RGB, isotropic log-scale from
+    mean-3NN distance, identity rotations, opacity 0.1
+    (reference scene/gaussian_model.py:124-147)."""
+    n = points.shape[0]
+    cap = capacity or min(next_pow2(n * 8), max(next_pow2(n), 1 << 22))
+    cap = max(cap, next_pow2(n))
+    k = (max_sh_degree + 1) ** 2
+
+    dist2 = np.maximum(knn_ops.mean_sq_dist_3nn(points), 1e-7)
+    log_scale = np.log(np.sqrt(dist2))[:, None].repeat(3, axis=1)
+
+    def padded(x, shape_tail, fill=0.0):
+        out = np.full((cap,) + shape_tail, fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    params = GaussianParams(
+        xyz=padded(points.astype(np.float32), (3,)),
+        f_dc=padded(
+            np.asarray(sh_ops.rgb_to_sh_dc(jnp.asarray(colors)))[:, :, None], (3, 1)
+        ),
+        f_rest=padded(np.zeros((n, 3, k - 1), np.float32), (3, k - 1)),
+        scaling=padded(log_scale.astype(np.float32), (3,), fill=-10.0),
+        rotation=padded(
+            np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1)), (4,)
+        ).at[:, 0].set(jnp.where(jnp.arange(cap) < n, 1.0, 1.0)),
+        opacity=padded(
+            np.full((n, 1), float(np.log(0.1 / 0.9)), np.float32), (1,),
+            fill=float(np.log(0.1 / 0.9)),
+        ),
+    )
+    active = jnp.arange(cap) < n
+    tx = make_optimizer(opt, spatial_lr_scale)
+    state = GaussianModelState(
+        params=params,
+        active=active,
+        max_radii2d=jnp.zeros(cap),
+        xyz_grad_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        opt_state=tx.init(params),
+        sh_degree=jnp.int32(0),
+    )
+    return state, tx
+
+
+def oneup_sh_degree(state: GaussianModelState, max_sh_degree: int) -> GaussianModelState:
+    """Anneal active SH degree (reference oneupSHdegree, :120-122)."""
+    return state._replace(sh_degree=jnp.minimum(state.sh_degree + 1, max_sh_degree))
+
+
+# ---------------------------------------------------------------------------
+# Densification statistics (reference add_densification_stats, :405-407)
+# ---------------------------------------------------------------------------
+
+
+def add_densification_stats(
+    state: GaussianModelState, means2d_grad: jnp.ndarray, radii: jnp.ndarray
+) -> GaussianModelState:
+    visible = radii > 0
+    g = jnp.linalg.norm(means2d_grad, axis=-1)
+    return state._replace(
+        xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, g, 0.0),
+        denom=state.denom + visible.astype(jnp.float32),
+        max_radii2d=jnp.maximum(state.max_radii2d, radii.astype(jnp.float32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Density control (reference densify_and_prune, :349-403)
+# ---------------------------------------------------------------------------
+
+
+def _allocate_slots(active, cand_mask):
+    """Assign each candidate a free slot index. Returns (slot, ok)."""
+    cap = active.shape[0]
+    order = jnp.argsort(active)  # inactive-first, stable
+    num_free = cap - jnp.sum(active)
+    rank = jnp.cumsum(cand_mask) - 1
+    ok = cand_mask & (rank < num_free)
+    slot = order[jnp.clip(rank, 0, cap - 1)]
+    return jnp.where(ok, slot, cap), ok  # cap = out-of-bounds -> dropped
+
+
+def _scatter_params(params: GaussianParams, slot, new: GaussianParams) -> GaussianParams:
+    return GaussianParams(*[
+        getattr(params, f).at[slot].set(getattr(new, f), mode="drop")
+        for f in GaussianParams._fields
+    ])
+
+
+def densify_and_prune(
+    state: GaussianModelState,
+    key: chex.PRNGKey,
+    *,
+    grad_threshold: float,
+    min_opacity: float,
+    extent: float,
+    max_screen_size: float,
+    percent_dense: float = 0.01,
+    capacity: Optional[int] = None,
+) -> tuple[GaussianModelState, dict]:
+    """Clone + split + prune, one fused jittable step
+    (reference scene/gaussian_model.py:389-403).
+
+    Returns (new_state, info dict with counts)."""
+    p = state.params
+    cap = p.xyz.shape[0]
+    grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
+    scaling = get_scaling(p)
+    max_scale = jnp.max(scaling, axis=-1)
+    high_grad = (grads >= grad_threshold) & state.active
+
+    # --- clone: small high-grad gaussians copied verbatim (:374-387)
+    clone_mask = high_grad & (max_scale <= percent_dense * extent)
+    slot, ok = _allocate_slots(state.active, clone_mask)
+    params = _scatter_params(p, slot, p)
+    active = state.active.at[slot].set(True, mode="drop")
+    n_cloned = jnp.sum(ok)
+
+    # --- split: large high-grad gaussians -> 2 children with scale/1.6
+    # (:349-372). Child 1 overwrites the original slot; child 2 gets a free
+    # slot. Positions sampled from the gaussian itself.
+    split_mask = high_grad & (max_scale > percent_dense * extent)
+    R = tf.quat_to_rotmat(p.rotation)  # (C,3,3)
+    k1, k2 = jax.random.split(key)
+    s1 = jax.random.normal(k1, (cap, 3)) * scaling
+    s2 = jax.random.normal(k2, (cap, 3)) * scaling
+    off1 = jnp.einsum("nij,nj->ni", R, s1)
+    off2 = jnp.einsum("nij,nj->ni", R, s2)
+    new_scaling = jnp.log(scaling / (0.8 * 2.0))
+
+    child1 = GaussianParams(
+        xyz=p.xyz + off1, f_dc=p.f_dc, f_rest=p.f_rest,
+        scaling=new_scaling, rotation=p.rotation, opacity=p.opacity,
+    )
+    child2 = child1._replace(xyz=p.xyz + off2)
+
+    # child 1 in place (only where split)
+    m3 = split_mask[:, None]
+    params = GaussianParams(
+        xyz=jnp.where(m3, child1.xyz, params.xyz),
+        f_dc=params.f_dc,
+        f_rest=params.f_rest,
+        scaling=jnp.where(m3, child1.scaling, params.scaling),
+        rotation=params.rotation,
+        opacity=params.opacity,
+    )
+    slot2, ok2 = _allocate_slots(active, split_mask)
+    params = _scatter_params(params, slot2, child2)
+    active = active.at[slot2].set(True, mode="drop")
+    n_split = jnp.sum(ok2)
+
+    # rows whose Adam moments must be reset: newly written slots + split
+    # originals (the reference re-creates those tensors: :258-327)
+    touched = jnp.zeros(cap, bool)
+    touched = touched.at[slot].set(True, mode="drop")
+    touched = touched.at[slot2].set(True, mode="drop")
+    touched = touched | split_mask
+
+    # --- prune (:389-403)
+    opacity = get_opacity(params)
+    prune = active & (opacity < min_opacity)
+    use_screen = max_screen_size > 0
+    prune = prune | (
+        active & use_screen & (state.max_radii2d > max_screen_size)
+    )
+    prune = prune | (
+        active & use_screen & (jnp.max(jnp.exp(params.scaling), axis=-1) > 0.1 * extent)
+    )
+    active = active & ~prune
+    touched = touched | prune
+    n_pruned = jnp.sum(prune)
+
+    opt_state = _edit_opt_state_rows(state.opt_state, touched, cap)
+
+    new_state = GaussianModelState(
+        params=params,
+        active=active,
+        max_radii2d=jnp.zeros(cap),
+        xyz_grad_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        opt_state=opt_state,
+        sh_degree=state.sh_degree,
+    )
+    info = {
+        "cloned": n_cloned,
+        "split": n_split,
+        "pruned": n_pruned,
+        "active": jnp.sum(active),
+        "overflow": jnp.sum(clone_mask) + jnp.sum(split_mask) - n_cloned - n_split,
+    }
+    return new_state, info
+
+
+def reset_opacity(state: GaussianModelState) -> GaussianModelState:
+    """opacity <- min(opacity, 0.01) and reset its Adam moments
+    (reference reset_opacity, :210-213)."""
+    p = state.params
+    new_op = jnp.minimum(p.opacity, inverse_sigmoid(jnp.asarray(0.01)))
+    cap = p.xyz.shape[0]
+    opt_state = _edit_opt_state_rows(
+        state.opt_state, jnp.ones(cap, bool), cap, fields={"opacity"}
+    )
+    return state._replace(params=p._replace(opacity=new_op), opt_state=opt_state)

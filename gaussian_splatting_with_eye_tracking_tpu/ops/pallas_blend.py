@@ -1,0 +1,450 @@
+"""Pallas TPU kernels for per-tile alpha compositing, forward + backward.
+
+TPU-native re-design of the CUDA render kernels
+(cuda_rasterizer/forward.cu:261-374 and backward.cu:399-557):
+
+- CUDA: 1 threadblock per 16x16 tile, 1 thread per pixel, sequential walk of
+  the tile's depth-sorted gaussian list with shared-memory staging and
+  atomicAdd in backward.
+- TPU: grid = tile list, one program per 32x32 tile (1024 pixels = 8 VPU
+  rows of 128 lanes). The tile's instance list is processed in chunks of
+  CHUNK instances; each chunk computes a (CHUNK, 1024) alpha matrix on the
+  VPU, turns the sequential front-to-back transmittance recurrence into a
+  log-space exclusive cumsum (log-doubling scan), and accumulates color with
+  lane-parallel multiply-reduces. Instance chunks stream from HBM with
+  double-buffered async DMA. Chunk-level early exit replaces the CUDA
+  per-pixel T<1e-4 break: once every pixel of the tile is saturated the
+  remaining chunks are skipped (color error bound: 1e-4).
+- Backward (no atomics on TPU): chunks are replayed BACK-TO-FRONT per tile;
+  transmittance is reconstructed by division from the saved final_T exactly
+  like the CUDA backward (backward.cu:503), the suffix color accumulator
+  `accum_rec` (backward.cu:515-519) becomes a suffix cumsum, and per-instance
+  gradients are written to the instance's unique slot in a (K, 16) array.
+  The atomicAdd over pixels (backward.cu:523-554) becomes a lane reduction;
+  the atomicAdd over duplicate instances becomes jax.ops.segment_sum outside
+  the kernel.
+
+Layout: instance features are gathered into a packed float32 array
+  [x, y, conic_a, conic_b, conic_c, r, g, b, opacity, 0...]  (width 16)
+in a CHUNK-ALIGNED per-tile CSR layout (each tile's slice starts at a
+multiple of CHUNK and is padded to one) so every DMA — including gradient
+write-back — stays inside its own tile's slice regardless of grid execution
+order. Aligned offsets + true counts ride in as scalar prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+LOG_T_MIN = math.log(1e-4)
+
+FEAT = 16  # packed feature width (9 used, padded for alignment)
+
+
+def _shift_down(x, k):
+    return jnp.concatenate([jnp.zeros((k, x.shape[1]), x.dtype), x[:-k]], axis=0)
+
+
+def _shift_up(x, k):
+    return jnp.concatenate([x[k:], jnp.zeros((k, x.shape[1]), x.dtype)], axis=0)
+
+
+def _cumsum_rows_incl(x, chunk):
+    """Inclusive cumsum along axis 0 (instance axis) via log-doubling."""
+    s = x
+    k = 1
+    while k < chunk:
+        s = s + _shift_down(s, k)
+        k *= 2
+    return s
+
+
+def _suffix_sum_rows_incl(x, chunk):
+    s = x
+    k = 1
+    while k < chunk:
+        s = s + _shift_up(s, k)
+        k *= 2
+    return s
+
+
+def _alpha_terms(f, px, py, k_ids, n):
+    """Shared recompute: packed chunk (C, FEAT) -> alpha (C, P) and friends.
+    Same math as the CUDA forward inner loop (forward.cu:330-343)."""
+    ca = f[:, 2:3]
+    cb = f[:, 3:4]
+    cc = f[:, 4:5]
+    op = f[:, 8:9]
+    dx = f[:, 0:1] - px  # (C, P)
+    dy = f[:, 1:2] - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = op * g
+    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+    valid = k_ids < n  # (C, 1)
+    keep = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, alpha_raw, g, power, dx, dy, keep
+
+
+def _pixel_coords(tile_xy_ref, t, pixels, tile):
+    ox = tile_xy_ref[t, 0]
+    oy = tile_xy_ref[t, 1]
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
+    px = (ox + pix % tile).astype(jnp.float32)
+    py = (oy + pix // tile).astype(jnp.float32)
+    return px, py
+
+
+def _fwd_kernel(
+    aoff_ref,  # scalar prefetch: (num_tiles+1,) int32, chunk-aligned offsets
+    counts_ref,  # scalar prefetch: (num_tiles,) int32, true instance counts
+    tile_xy_ref,  # scalar prefetch: (num_tiles, 2) int32 pixel origin of tile
+    feat_hbm,  # (K_pad, FEAT) f32, ANY/HBM, chunk-aligned layout
+    out_ref,  # (1, 8, P) f32 VMEM: rows 0-2 rgb, 3 final_T, 4 chunks done
+    fbuf,  # scratch VMEM (2, CHUNK, FEAT)
+    sem,  # DMA sems (2,)
+    *, chunk: int, pixels: int, tile: int,
+):
+    t = pl.program_id(0)
+    start = aoff_ref[t]
+    n = counts_ref[t]
+    n_chunks = pl.cdiv(n, chunk)
+    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile)
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(start + ci * chunk, chunk)], fbuf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def body(carry):
+        ci, logT, cr, cg, cb_, done = carry
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(ci % 2, ci).wait()
+        f = fbuf[ci % 2]
+        k_ids = ci * chunk + row_ids
+        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, k_ids, n)
+
+        log_om = jnp.log1p(-alpha)  # (C, P)
+        excl = _cumsum_rows_incl(log_om, chunk) - log_om
+        w = alpha * jnp.exp(logT + excl)  # (C, P)
+        cr = cr + jnp.sum(w * f[:, 5:6], axis=0, keepdims=True)
+        cg = cg + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
+        cb_ = cb_ + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
+        logT = logT + jnp.sum(log_om, axis=0, keepdims=True)
+        done = jnp.max(logT) < LOG_T_MIN
+        return ci + 1, logT, cr, cg, cb_, done
+
+    def cond(carry):
+        ci, _, _, _, _, done = carry
+        return (ci < n_chunks) & jnp.logical_not(done)
+
+    zero = jnp.zeros((1, pixels), jnp.float32)
+    ci, logT, cr, cg, cb_, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, zero, zero, jnp.bool_(False))
+    )
+
+    out_ref[0, 0:1, :] = cr
+    out_ref[0, 1:2, :] = cg
+    out_ref[0, 2:3, :] = cb_
+    out_ref[0, 3:4, :] = jnp.exp(logT)
+    out_ref[0, 4:5, :] = jnp.broadcast_to(ci.astype(jnp.float32), (1, pixels))
+    out_ref[0, 5:8, :] = jnp.zeros((3, pixels), jnp.float32)
+
+
+def _bwd_kernel(
+    aoff_ref,
+    counts_ref,
+    tile_xy_ref,
+    feat_hbm,  # (K_pad, FEAT), chunk-aligned layout
+    gimg_ref,  # (1, 8, P): rows 0-2 dL/dcolor, 3 dL/dfinalT
+    fwdout_ref,  # (1, 8, P): forward output (row 3 final_T, row 4 chunks done)
+    dfeat_hbm,  # out: (K_pad, FEAT) per-instance grads, ANY/HBM
+    fbuf,  # scratch (2, CHUNK, FEAT)
+    dbuf,  # scratch (CHUNK, FEAT) staging for grads
+    sem,  # DMA sems (2,)
+    outsem,  # DMA sem for grad write-back
+    *, chunk: int, pixels: int, tile: int,
+):
+    t = pl.program_id(0)
+    start = aoff_ref[t]
+    n = counts_ref[t]
+    n_chunks_total = pl.cdiv(n, chunk)
+    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile)
+
+    gr = gimg_ref[0, 0:1, :]
+    gg = gimg_ref[0, 1:2, :]
+    gb = gimg_ref[0, 2:3, :]
+    gT_ext = gimg_ref[0, 3:4, :]
+    final_t = fwdout_ref[0, 3:4, :]
+    n_chunks_done = fwdout_ref[0, 4, 0].astype(jnp.int32)
+
+    def dma_in(slot, ci):
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(start + ci * chunk, chunk)], fbuf.at[slot], sem.at[slot]
+        )
+
+    def write_out(ci):
+        out_dma = pltpu.make_async_copy(
+            dbuf, dfeat_hbm.at[pl.ds(start + ci * chunk, chunk)], outsem
+        )
+        out_dma.start()
+        out_dma.wait()
+
+    @pl.when(n_chunks_done > 0)
+    def _():
+        dma_in((n_chunks_done - 1) % 2, n_chunks_done - 1).start()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def body(i, carry):
+        T_after, S = carry
+        ci = n_chunks_done - 1 - i  # back-to-front (backward.cu:441-556)
+
+        @pl.when(ci > 0)
+        def _():
+            dma_in((ci - 1) % 2, ci - 1).start()
+
+        dma_in(ci % 2, ci).wait()
+        f = fbuf[ci % 2]
+        k_ids = ci * chunk + row_ids
+        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(f, px, py, k_ids, n)
+
+        log_om = jnp.log1p(-alpha)
+        suf_incl = _suffix_sum_rows_incl(log_om, chunk)
+        T_i = T_after * jnp.exp(-suf_incl)  # transmittance before instance i
+        w = alpha * T_i  # (C, P)
+
+        G_rgb = gr * f[:, 5:6] + gg * f[:, 6:7] + gb * f[:, 7:8]  # (C, P)
+        u = G_rgb * w
+        S_i = S + _suffix_sum_rows_incl(u, chunk) - u  # suffix-exclusive
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = T_i * G_rgb - S_i / one_m
+        d_alpha = jnp.where(keep, d_alpha, 0.0)
+        # clamp gate at 0.99 (matches jnp.minimum vjp of the jnp path)
+        d_araw = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
+
+        d_op_px = d_araw * g
+        d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
+
+        dbuf[:, 0:1] = jnp.sum(d_power_px * (-(f[:, 2:3] * dx + f[:, 3:4] * dy)), axis=1, keepdims=True)
+        dbuf[:, 1:2] = jnp.sum(d_power_px * (-(f[:, 4:5] * dy + f[:, 3:4] * dx)), axis=1, keepdims=True)
+        dbuf[:, 2:3] = jnp.sum(d_power_px * (-0.5 * dx * dx), axis=1, keepdims=True)
+        dbuf[:, 3:4] = jnp.sum(d_power_px * (-dx * dy), axis=1, keepdims=True)
+        dbuf[:, 4:5] = jnp.sum(d_power_px * (-0.5 * dy * dy), axis=1, keepdims=True)
+        dbuf[:, 5:6] = jnp.sum(gr * w, axis=1, keepdims=True)
+        dbuf[:, 6:7] = jnp.sum(gg * w, axis=1, keepdims=True)
+        dbuf[:, 7:8] = jnp.sum(gb * w, axis=1, keepdims=True)
+        dbuf[:, 8:9] = jnp.sum(d_op_px, axis=1, keepdims=True)
+        dbuf[:, 9:] = jnp.zeros((chunk, FEAT - 9), jnp.float32)
+        write_out(ci)
+
+        T_before_chunk = T_after * jnp.exp(-jnp.sum(log_om, axis=0, keepdims=True))
+        S_new = S + jnp.sum(u, axis=0, keepdims=True)
+        return T_before_chunk, S_new
+
+    S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
+    jax.lax.fori_loop(0, n_chunks_done, body, (final_t, S0))
+
+    # Chunks skipped by forward early-exit contributed nothing: zero grads.
+    def zero_body(ci, _):
+        dbuf[:, :] = jnp.zeros((chunk, FEAT), jnp.float32)
+        write_out(ci)
+        return 0
+
+    jax.lax.fori_loop(n_chunks_done, n_chunks_total, zero_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-aligned CSR layout
+# ---------------------------------------------------------------------------
+
+
+def align_csr(offsets, chunk: int, total_slots: int):
+    """Re-map CSR instance slices to chunk-aligned start positions.
+
+    Returns (src (S,) int32 index into the original instance axis,
+    valid (S,) bool, aligned_offsets (T+1,) int32, counts (T,) int32).
+    ``total_slots`` must statically bound sum(ceil(count/chunk))*chunk.
+    """
+    counts = offsets[1:] - offsets[:-1]
+    aligned = ((counts + chunk - 1) // chunk) * chunk
+    aoff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
+    )
+    j = jnp.arange(total_slots, dtype=jnp.int32)
+    t = (
+        jnp.searchsorted(aoff, j, side="right", method="sort").astype(jnp.int32) - 1
+    )
+    t = jnp.clip(t, 0, counts.shape[0] - 1)
+    local = j - aoff[t]
+    valid = (local < counts[t]) & (j < aoff[-1])
+    src = jnp.clip(offsets[t] + local, 0, None)
+    return src, valid, aoff, counts
+
+
+def pack_features(xy, conic, rgb, op):
+    n = xy.shape[0]
+    f = jnp.zeros((n, FEAT), jnp.float32)
+    f = f.at[:, 0:2].set(xy)
+    f = f.at[:, 2:5].set(conic)
+    f = f.at[:, 5:8].set(rgb)
+    f = f.at[:, 8].set(op)
+    return f
+
+
+def _tile_origins(grid_x: int, grid_y: int, tile: int):
+    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    return jnp.stack([(t % grid_x) * tile, (t // grid_x) * tile], axis=-1)
+
+
+def _fwd_call(feat_al, aoff, counts, grid_x, grid_y, tile, chunk, interpret):
+    num_tiles = grid_x * grid_y
+    pixels = tile * tile
+    tile_xy = _tile_origins(grid_x, grid_y, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pixels), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(aoff, counts, tile_xy, feat_al)
+
+
+def _bwd_call(feat_al, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile, chunk, interpret):
+    num_tiles = grid_x * grid_y
+    pixels = tile * tile
+    s = feat_al.shape[0]
+    tile_xy = _tile_origins(grid_x, grid_y, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, FEAT), jnp.float32),
+            pltpu.VMEM((chunk, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((s, FEAT), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(aoff, counts, tile_xy, feat_al, gimg_tiles, fwd_out)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def blend_pallas(
+    xy, conic, rgb, op, gauss_id, offsets,
+    grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
+):
+    """Differentiable tile compositing. Returns tiles (num_tiles, 8, P):
+    rows 0-2 color (no background), row 3 final transmittance."""
+    out, _ = _blend_fwd(
+        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
+    )
+    return out
+
+
+def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk):
+    k = gauss_id.shape[0]
+    num_tiles = grid_x * grid_y
+    total_slots = k + num_tiles * chunk  # static bound on the aligned length
+    src, valid, aoff, counts = align_csr(offsets, chunk, total_slots)
+    gid_al = jnp.where(valid, gauss_id[src], 0)
+    feat = pack_features(xy, conic, rgb, op)
+    feat_al = jnp.where(valid[:, None], feat[gid_al], 0.0)
+    return feat_al, gid_al, valid, aoff, counts
+
+
+def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret):
+    feat_al, gid_al, valid, aoff, counts = _aligned_features(
+        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk
+    )
+    out = _fwd_call(feat_al, aoff, counts, grid_x, grid_y, tile, chunk, interpret)
+    return out, (feat_al, gid_al, valid, aoff, counts, out, xy.shape[0])
+
+
+def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
+    feat_al, gid_al, valid, aoff, counts, fwd_out, n = res
+    dfeat_al = _bwd_call(
+        feat_al, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
+    )
+    dfeat_al = jnp.where(valid[:, None], dfeat_al, 0.0)
+    dfeat = jax.ops.segment_sum(dfeat_al, gid_al, num_segments=n)
+    return (
+        dfeat[:, 0:2],  # d xy
+        dfeat[:, 2:5],  # d conic
+        dfeat[:, 5:8],  # d rgb
+        dfeat[:, 8],  # d op
+        None,  # gauss_id
+        None,  # offsets
+    )
+
+
+blend_pallas.defvjp(_blend_fwd, _blend_bwd)
+
+
+def render_tiles_pallas(
+    xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, bg,
+    chunk: int = 128, interpret: bool | None = None,
+):
+    """Full-image Pallas renderer; same contract as
+    tile_blend.render_tiles_jnp. Background compositing and image assembly
+    happen in XLA (autodiff covers their gradients, including d/d bg)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiles = blend_pallas(
+        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
+    )
+    color = tiles[:, 0:3, :]  # (T, 3, P)
+    final_t = tiles[:, 3, :]  # (T, P)
+    color = color + final_t[:, None, :] * bg[None, :, None]
+    color = color.reshape(grid_y, grid_x, 3, tile, tile)
+    color = jnp.transpose(color, (2, 0, 3, 1, 4)).reshape(3, grid_y * tile, grid_x * tile)
+    final_t = final_t.reshape(grid_y, grid_x, tile, tile)
+    final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * tile, grid_x * tile)
+    return color, final_t

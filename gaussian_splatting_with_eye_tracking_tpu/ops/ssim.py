@@ -1,0 +1,75 @@
+"""Image losses: L1, L2, SSIM, PSNR — pure JAX.
+
+Capability parity with reference utils/loss_utils.py:17-63 (l1_loss, l2_loss,
+ssim with an 11x11 sigma=1.5 Gaussian window and C1=0.01^2 / C2=0.03^2) and
+utils/image_utils.py:17-19 (psnr).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(img: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR over [0,1] images (reference utils/image_utils.py:17-19)."""
+    mse = jnp.mean((img - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM (reference utils/loss_utils.py:23-63).
+
+    Inputs are (C, H, W) or (N, C, H, W) in [0, 1]. Uses a separable 11x11
+    Gaussian window (sigma=1.5) with SAME padding, matching the reference's
+    depthwise conv2d (groups=channel, padding=window_size//2).
+    """
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    w = jnp.asarray(_gaussian_window(window_size, 1.5))
+
+    def blur(x):
+        # depthwise separable convolution: (N, C, H, W)
+        n, c, h, wd = x.shape
+        x = x.reshape(n * c, 1, h, wd)
+        kh = w.reshape(1, 1, window_size, 1)
+        kw = w.reshape(1, 1, 1, window_size)
+        pad = window_size // 2
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)])
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)])
+        return x.reshape(n, c, h, wd)
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def dssim_l1_loss(img: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2) -> jnp.ndarray:
+    """The reference training loss (train.py:88-90): (1-λ)·L1 + λ·(1-SSIM)."""
+    return (1.0 - lambda_dssim) * l1_loss(img, gt) + lambda_dssim * (1.0 - ssim(img, gt))
