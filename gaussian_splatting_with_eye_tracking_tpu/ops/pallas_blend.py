@@ -6,30 +6,35 @@ TPU-native re-design of the CUDA render kernels
 - CUDA: 1 threadblock per 16x16 tile, 1 thread per pixel, sequential walk of
   the tile's depth-sorted gaussian list with shared-memory staging and
   atomicAdd in backward.
-- TPU: grid = tile list, one program per 32x32 tile (1024 pixels = 8 VPU
-  rows of 128 lanes). The tile's instance list is processed in chunks of
-  CHUNK instances; each chunk computes a (CHUNK, 1024) alpha matrix on the
-  VPU, turns the sequential front-to-back transmittance recurrence into a
-  log-space exclusive cumsum (log-doubling scan), and accumulates color with
-  lane-parallel multiply-reduces. Instance chunks stream from HBM with
-  double-buffered async DMA. Chunk-level early exit replaces the CUDA
-  per-pixel T<1e-4 break: once every pixel of the tile is saturated the
-  remaining chunks are skipped (color error bound: 1e-4).
+- TPU: grid = tile list, one program per 32x32 tile. Layout (validated on
+  hardware): PIXELS on sublanes (P=1024 rows), INSTANCES on lanes (CHUNK=128
+  columns). The tile's instance list is processed in chunks; each chunk
+  computes a (P, C) alpha matrix on the VPU, turns the sequential
+  front-to-back transmittance recurrence into a log-space exclusive cumsum
+  along lanes (log-doubling scan), and accumulates color with native lane
+  reductions. Instance chunks stream from HBM with double-buffered async DMA
+  in a struct-of-arrays (FEAT, S) layout so every DMA slice is 128-lane
+  aligned. Chunk-level early exit replaces the CUDA per-pixel T<1e-4 break:
+  once every pixel of the tile is saturated the remaining chunks are skipped
+  (color error bound: 1e-4 per channel).
 - Backward (no atomics on TPU): chunks are replayed BACK-TO-FRONT per tile;
   transmittance is reconstructed by division from the saved final_T exactly
   like the CUDA backward (backward.cu:503), the suffix color accumulator
-  `accum_rec` (backward.cu:515-519) becomes a suffix cumsum, and per-instance
-  gradients are written to the instance's unique slot in a (K, 16) array.
-  The atomicAdd over pixels (backward.cu:523-554) becomes a lane reduction;
-  the atomicAdd over duplicate instances becomes jax.ops.segment_sum outside
-  the kernel.
+  `accum_rec` (backward.cu:515-519) becomes a suffix cumsum along lanes, and
+  per-instance gradients (sublane reductions over pixels) are DMA'd to the
+  instance's unique slot in a (FEAT, S) gradient array. The atomicAdd over
+  duplicate instances (backward.cu:523-554) becomes jax.ops.segment_sum
+  outside the kernel.
 
-Layout: instance features are gathered into a packed float32 array
-  [x, y, conic_a, conic_b, conic_c, r, g, b, opacity, 0...]  (width 16)
-in a CHUNK-ALIGNED per-tile CSR layout (each tile's slice starts at a
-multiple of CHUNK and is padded to one) so every DMA — including gradient
-write-back — stays inside its own tile's slice regardless of grid execution
-order. Aligned offsets + true counts ride in as scalar prefetch.
+Feature rows in the SoA array: [x, y, conic_a, conic_b, conic_c, r, g, b,
+opacity, <7 pad>] (FEAT=16 rows).
+
+Instances live in a CHUNK-ALIGNED per-tile CSR layout (each tile's slice
+starts at a multiple of CHUNK and is padded to one) so every DMA — including
+gradient write-back — stays inside its own tile's slice regardless of grid
+execution order, and lane alignment holds. On hardware, CHUNK must be a
+multiple of 128 (DMA lane alignment); smaller chunks are allowed only in
+interpret mode (CPU tests).
 """
 
 from __future__ import annotations
@@ -46,50 +51,52 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 LOG_T_MIN = math.log(1e-4)
 
-FEAT = 16  # packed feature width (9 used, padded for alignment)
+FEAT = 16  # SoA rows (9 used, padded to a sublane-friendly 16)
+OUTC = 8  # output columns per pixel: r, g, b, final_T, chunks_done, pad
 
 
-def _shift_down(x, k):
-    return jnp.concatenate([jnp.zeros((k, x.shape[1]), x.dtype), x[:-k]], axis=0)
+def _shift_lanes_right(x, k):
+    """Shift columns right by k (first k columns become zero). Static k."""
+    return jnp.concatenate([jnp.zeros((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
 
 
-def _shift_up(x, k):
-    return jnp.concatenate([x[k:], jnp.zeros((k, x.shape[1]), x.dtype)], axis=0)
+def _shift_lanes_left(x, k):
+    return jnp.concatenate([x[:, k:], jnp.zeros((x.shape[0], k), x.dtype)], axis=1)
 
 
-def _cumsum_rows_incl(x, chunk):
-    """Inclusive cumsum along axis 0 (instance axis) via log-doubling."""
+def _cumsum_lanes_incl(x, chunk):
+    """Inclusive cumsum along axis 1 (instance axis) via log-doubling."""
     s = x
     k = 1
     while k < chunk:
-        s = s + _shift_down(s, k)
+        s = s + _shift_lanes_right(s, k)
         k *= 2
     return s
 
 
-def _suffix_sum_rows_incl(x, chunk):
+def _suffix_sum_lanes_incl(x, chunk):
     s = x
     k = 1
     while k < chunk:
-        s = s + _shift_up(s, k)
+        s = s + _shift_lanes_left(s, k)
         k *= 2
     return s
 
 
-def _alpha_terms(f, px, py, k_ids, n):
-    """Shared recompute: packed chunk (C, FEAT) -> alpha (C, P) and friends.
+def _alpha_terms(f, px, py, lane_ids, n):
+    """Shared recompute: SoA chunk (FEAT, C) -> alpha (P, C) and friends.
     Same math as the CUDA forward inner loop (forward.cu:330-343)."""
-    ca = f[:, 2:3]
-    cb = f[:, 3:4]
-    cc = f[:, 4:5]
-    op = f[:, 8:9]
-    dx = f[:, 0:1] - px  # (C, P)
-    dy = f[:, 1:2] - py
+    ca = f[2:3, :]
+    cb = f[3:4, :]
+    cc = f[4:5, :]
+    op = f[8:9, :]
+    dx = f[0:1, :] - px  # (P, C)
+    dy = f[1:2, :] - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    valid = k_ids < n  # (C, 1)
+    valid = lane_ids < n  # (1, C)
     keep = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, alpha_raw, g, power, dx, dy, keep
@@ -98,7 +105,7 @@ def _alpha_terms(f, px, py, k_ids, n):
 def _pixel_coords(tile_xy_ref, t, pixels, tile):
     ox = tile_xy_ref[t, 0]
     oy = tile_xy_ref[t, 1]
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (pixels, 1), 0)
     px = (ox + pix % tile).astype(jnp.float32)
     py = (oy + pix // tile).astype(jnp.float32)
     return px, py
@@ -108,9 +115,9 @@ def _fwd_kernel(
     aoff_ref,  # scalar prefetch: (num_tiles+1,) int32, chunk-aligned offsets
     counts_ref,  # scalar prefetch: (num_tiles,) int32, true instance counts
     tile_xy_ref,  # scalar prefetch: (num_tiles, 2) int32 pixel origin of tile
-    feat_hbm,  # (K_pad, FEAT) f32, ANY/HBM, chunk-aligned layout
-    out_ref,  # (1, 8, P) f32 VMEM: rows 0-2 rgb, 3 final_T, 4 chunks done
-    fbuf,  # scratch VMEM (2, CHUNK, FEAT)
+    feat_hbm,  # (FEAT, S) f32, ANY/HBM, chunk-aligned SoA layout
+    out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
+    fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
     *, chunk: int, pixels: int, tile: int,
 ):
@@ -122,14 +129,16 @@ def _fwd_kernel(
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(start + ci * chunk, chunk)], fbuf.at[slot], sem.at[slot]
+            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            fbuf.at[slot],
+            sem.at[slot],
         )
 
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0).start()
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(carry):
         ci, logT, cr, cg, cb_, done = carry
@@ -140,16 +149,16 @@ def _fwd_kernel(
 
         dma(ci % 2, ci).wait()
         f = fbuf[ci % 2]
-        k_ids = ci * chunk + row_ids
-        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, k_ids, n)
+        ids = ci * chunk + lane_ids
+        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, ids, n)
 
-        log_om = jnp.log1p(-alpha)  # (C, P)
-        excl = _cumsum_rows_incl(log_om, chunk) - log_om
-        w = alpha * jnp.exp(logT + excl)  # (C, P)
-        cr = cr + jnp.sum(w * f[:, 5:6], axis=0, keepdims=True)
-        cg = cg + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
-        cb_ = cb_ + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
-        logT = logT + jnp.sum(log_om, axis=0, keepdims=True)
+        log_om = jnp.log1p(-alpha)  # (P, C)
+        excl = _cumsum_lanes_incl(log_om, chunk) - log_om
+        w = alpha * jnp.exp(logT + excl)  # (P, C)
+        cr = cr + jnp.sum(w * f[5:6, :], axis=1, keepdims=True)
+        cg = cg + jnp.sum(w * f[6:7, :], axis=1, keepdims=True)
+        cb_ = cb_ + jnp.sum(w * f[7:8, :], axis=1, keepdims=True)
+        logT = logT + jnp.sum(log_om, axis=1, keepdims=True)
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, cr, cg, cb_, done
 
@@ -157,29 +166,29 @@ def _fwd_kernel(
         ci, _, _, _, _, done = carry
         return (ci < n_chunks) & jnp.logical_not(done)
 
-    zero = jnp.zeros((1, pixels), jnp.float32)
+    zero = jnp.zeros((pixels, 1), jnp.float32)
     ci, logT, cr, cg, cb_, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), zero, zero, zero, zero, jnp.bool_(False))
     )
 
-    out_ref[0, 0:1, :] = cr
-    out_ref[0, 1:2, :] = cg
-    out_ref[0, 2:3, :] = cb_
-    out_ref[0, 3:4, :] = jnp.exp(logT)
-    out_ref[0, 4:5, :] = jnp.broadcast_to(ci.astype(jnp.float32), (1, pixels))
-    out_ref[0, 5:8, :] = jnp.zeros((3, pixels), jnp.float32)
+    out_ref[0, :, 0:1] = cr
+    out_ref[0, :, 1:2] = cg
+    out_ref[0, :, 2:3] = cb_
+    out_ref[0, :, 3:4] = jnp.exp(logT)
+    out_ref[0, :, 4:5] = jnp.broadcast_to(ci.astype(jnp.float32), (pixels, 1))
+    out_ref[0, :, 5:OUTC] = jnp.zeros((pixels, OUTC - 5), jnp.float32)
 
 
 def _bwd_kernel(
     aoff_ref,
     counts_ref,
     tile_xy_ref,
-    feat_hbm,  # (K_pad, FEAT), chunk-aligned layout
-    gimg_ref,  # (1, 8, P): rows 0-2 dL/dcolor, 3 dL/dfinalT
-    fwdout_ref,  # (1, 8, P): forward output (row 3 final_T, row 4 chunks done)
-    dfeat_hbm,  # out: (K_pad, FEAT) per-instance grads, ANY/HBM
-    fbuf,  # scratch (2, CHUNK, FEAT)
-    dbuf,  # scratch (CHUNK, FEAT) staging for grads
+    feat_hbm,  # (FEAT, S), chunk-aligned SoA layout
+    gimg_ref,  # (1, P, OUTC): cols 0-2 dL/dcolor, 3 dL/dfinalT
+    fwdout_ref,  # (1, P, OUTC): forward output (col 3 final_T, col 4 chunks)
+    dfeat_hbm,  # out: (FEAT, S) per-instance grads, ANY/HBM
+    fbuf,  # scratch (2, FEAT, CHUNK)
+    dbuf,  # scratch (FEAT, CHUNK) staging for grads
     sem,  # DMA sems (2,)
     outsem,  # DMA sem for grad write-back
     *, chunk: int, pixels: int, tile: int,
@@ -190,21 +199,23 @@ def _bwd_kernel(
     n_chunks_total = pl.cdiv(n, chunk)
     px, py = _pixel_coords(tile_xy_ref, t, pixels, tile)
 
-    gr = gimg_ref[0, 0:1, :]
-    gg = gimg_ref[0, 1:2, :]
-    gb = gimg_ref[0, 2:3, :]
-    gT_ext = gimg_ref[0, 3:4, :]
-    final_t = fwdout_ref[0, 3:4, :]
-    n_chunks_done = fwdout_ref[0, 4, 0].astype(jnp.int32)
+    gr = gimg_ref[0, :, 0:1]  # (P, 1)
+    gg = gimg_ref[0, :, 1:2]
+    gb = gimg_ref[0, :, 2:3]
+    gT_ext = gimg_ref[0, :, 3:4]
+    final_t = fwdout_ref[0, :, 3:4]
+    n_chunks_done = fwdout_ref[0, 0, 4].astype(jnp.int32)
 
     def dma_in(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(start + ci * chunk, chunk)], fbuf.at[slot], sem.at[slot]
+            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            fbuf.at[slot],
+            sem.at[slot],
         )
 
     def write_out(ci):
         out_dma = pltpu.make_async_copy(
-            dbuf, dfeat_hbm.at[pl.ds(start + ci * chunk, chunk)], outsem
+            dbuf, dfeat_hbm.at[:, pl.ds(start + ci * chunk, chunk)], outsem
         )
         out_dma.start()
         out_dma.wait()
@@ -213,7 +224,7 @@ def _bwd_kernel(
     def _():
         dma_in((n_chunks_done - 1) % 2, n_chunks_done - 1).start()
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(i, carry):
         T_after, S = carry
@@ -225,17 +236,17 @@ def _bwd_kernel(
 
         dma_in(ci % 2, ci).wait()
         f = fbuf[ci % 2]
-        k_ids = ci * chunk + row_ids
-        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(f, px, py, k_ids, n)
+        ids = ci * chunk + lane_ids
+        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(f, px, py, ids, n)
 
         log_om = jnp.log1p(-alpha)
-        suf_incl = _suffix_sum_rows_incl(log_om, chunk)
+        suf_incl = _suffix_sum_lanes_incl(log_om, chunk)
         T_i = T_after * jnp.exp(-suf_incl)  # transmittance before instance i
-        w = alpha * T_i  # (C, P)
+        w = alpha * T_i  # (P, C)
 
-        G_rgb = gr * f[:, 5:6] + gg * f[:, 6:7] + gb * f[:, 7:8]  # (C, P)
+        G_rgb = gr * f[5:6, :] + gg * f[6:7, :] + gb * f[7:8, :]  # (P, C)
         u = G_rgb * w
-        S_i = S + _suffix_sum_rows_incl(u, chunk) - u  # suffix-exclusive
+        S_i = S + _suffix_sum_lanes_incl(u, chunk) - u  # suffix-exclusive
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = T_i * G_rgb - S_i / one_m
@@ -246,20 +257,23 @@ def _bwd_kernel(
         d_op_px = d_araw * g
         d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
 
-        dbuf[:, 0:1] = jnp.sum(d_power_px * (-(f[:, 2:3] * dx + f[:, 3:4] * dy)), axis=1, keepdims=True)
-        dbuf[:, 1:2] = jnp.sum(d_power_px * (-(f[:, 4:5] * dy + f[:, 3:4] * dx)), axis=1, keepdims=True)
-        dbuf[:, 2:3] = jnp.sum(d_power_px * (-0.5 * dx * dx), axis=1, keepdims=True)
-        dbuf[:, 3:4] = jnp.sum(d_power_px * (-dx * dy), axis=1, keepdims=True)
-        dbuf[:, 4:5] = jnp.sum(d_power_px * (-0.5 * dy * dy), axis=1, keepdims=True)
-        dbuf[:, 5:6] = jnp.sum(gr * w, axis=1, keepdims=True)
-        dbuf[:, 6:7] = jnp.sum(gg * w, axis=1, keepdims=True)
-        dbuf[:, 7:8] = jnp.sum(gb * w, axis=1, keepdims=True)
-        dbuf[:, 8:9] = jnp.sum(d_op_px, axis=1, keepdims=True)
-        dbuf[:, 9:] = jnp.zeros((chunk, FEAT - 9), jnp.float32)
+        def rsum(x):  # (P, C) -> (1, C) reduce over pixels
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        dbuf[0:1, :] = rsum(d_power_px * (-(f[2:3, :] * dx + f[3:4, :] * dy)))
+        dbuf[1:2, :] = rsum(d_power_px * (-(f[4:5, :] * dy + f[3:4, :] * dx)))
+        dbuf[2:3, :] = rsum(d_power_px * (-0.5 * dx * dx))
+        dbuf[3:4, :] = rsum(d_power_px * (-dx * dy))
+        dbuf[4:5, :] = rsum(d_power_px * (-0.5 * dy * dy))
+        dbuf[5:6, :] = rsum(gr * w)
+        dbuf[6:7, :] = rsum(gg * w)
+        dbuf[7:8, :] = rsum(gb * w)
+        dbuf[8:9, :] = rsum(d_op_px)
+        dbuf[9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
         write_out(ci)
 
-        T_before_chunk = T_after * jnp.exp(-jnp.sum(log_om, axis=0, keepdims=True))
-        S_new = S + jnp.sum(u, axis=0, keepdims=True)
+        T_before_chunk = T_after * jnp.exp(-jnp.sum(log_om, axis=1, keepdims=True))
+        S_new = S + jnp.sum(u, axis=1, keepdims=True)
         return T_before_chunk, S_new
 
     S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
@@ -267,7 +281,7 @@ def _bwd_kernel(
 
     # Chunks skipped by forward early-exit contributed nothing: zero grads.
     def zero_body(ci, _):
-        dbuf[:, :] = jnp.zeros((chunk, FEAT), jnp.float32)
+        dbuf[:, :] = jnp.zeros((FEAT, chunk), jnp.float32)
         write_out(ci)
         return 0
 
@@ -292,9 +306,7 @@ def align_csr(offsets, chunk: int, total_slots: int):
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
     )
     j = jnp.arange(total_slots, dtype=jnp.int32)
-    t = (
-        jnp.searchsorted(aoff, j, side="right", method="sort").astype(jnp.int32) - 1
-    )
+    t = jnp.searchsorted(aoff, j, side="right", method="sort").astype(jnp.int32) - 1
     t = jnp.clip(t, 0, counts.shape[0] - 1)
     local = j - aoff[t]
     valid = (local < counts[t]) & (j < aoff[-1])
@@ -302,14 +314,18 @@ def align_csr(offsets, chunk: int, total_slots: int):
     return src, valid, aoff, counts
 
 
-def pack_features(xy, conic, rgb, op):
-    n = xy.shape[0]
-    f = jnp.zeros((n, FEAT), jnp.float32)
-    f = f.at[:, 0:2].set(xy)
-    f = f.at[:, 2:5].set(conic)
-    f = f.at[:, 5:8].set(rgb)
-    f = f.at[:, 8].set(op)
-    return f
+def pack_features_soa(xy, conic, rgb, op, gid_al, valid):
+    """Gather per-gaussian data into the aligned SoA (FEAT, S) array."""
+    s = gid_al.shape[0]
+    rows = [
+        xy[gid_al, 0], xy[gid_al, 1],
+        conic[gid_al, 0], conic[gid_al, 1], conic[gid_al, 2],
+        rgb[gid_al, 0], rgb[gid_al, 1], rgb[gid_al, 2],
+        op[gid_al],
+    ]
+    feat = jnp.stack(rows, axis=0)  # (9, S)
+    feat = jnp.where(valid[None, :], feat, 0.0)
+    return jnp.concatenate([feat, jnp.zeros((FEAT - 9, s), jnp.float32)], axis=0)
 
 
 def _tile_origins(grid_x: int, grid_y: int, tile: int):
@@ -317,58 +333,58 @@ def _tile_origins(grid_x: int, grid_y: int, tile: int):
     return jnp.stack([(t % grid_x) * tile, (t // grid_x) * tile], axis=-1)
 
 
-def _fwd_call(feat_al, aoff, counts, grid_x, grid_y, tile, chunk, interpret):
+def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret):
     num_tiles = grid_x * grid_y
     pixels = tile * tile
     tile_xy = _tile_origins(grid_x, grid_y, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, FEAT), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pixels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(aoff, counts, tile_xy, feat_al)
+    )(aoff, counts, tile_xy, feat_soa)
 
 
-def _bwd_call(feat_al, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile, chunk, interpret):
+def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile, chunk, interpret):
     num_tiles = grid_x * grid_y
     pixels = tile * tile
-    s = feat_al.shape[0]
+    s = feat_soa.shape[1]
     tile_xy = _tile_origins(grid_x, grid_y, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, FEAT), jnp.float32),
-            pltpu.VMEM((chunk, FEAT), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((s, FEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT, s), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(aoff, counts, tile_xy, feat_al, gimg_tiles, fwd_out)
+    )(aoff, counts, tile_xy, feat_soa, gimg_tiles, fwd_out)
 
 
 # ---------------------------------------------------------------------------
@@ -381,8 +397,8 @@ def blend_pallas(
     xy, conic, rgb, op, gauss_id, offsets,
     grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
 ):
-    """Differentiable tile compositing. Returns tiles (num_tiles, 8, P):
-    rows 0-2 color (no background), row 3 final transmittance."""
+    """Differentiable tile compositing. Returns tiles (num_tiles, P, OUTC):
+    cols 0-2 color (no background), col 3 final transmittance."""
     out, _ = _blend_fwd(
         xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
     )
@@ -395,26 +411,25 @@ def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chu
     total_slots = k + num_tiles * chunk  # static bound on the aligned length
     src, valid, aoff, counts = align_csr(offsets, chunk, total_slots)
     gid_al = jnp.where(valid, gauss_id[src], 0)
-    feat = pack_features(xy, conic, rgb, op)
-    feat_al = jnp.where(valid[:, None], feat[gid_al], 0.0)
-    return feat_al, gid_al, valid, aoff, counts
+    feat_soa = pack_features_soa(xy, conic, rgb, op, gid_al, valid)
+    return feat_soa, gid_al, valid, aoff, counts
 
 
 def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret):
-    feat_al, gid_al, valid, aoff, counts = _aligned_features(
+    feat_soa, gid_al, valid, aoff, counts = _aligned_features(
         xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk
     )
-    out = _fwd_call(feat_al, aoff, counts, grid_x, grid_y, tile, chunk, interpret)
-    return out, (feat_al, gid_al, valid, aoff, counts, out, xy.shape[0])
+    out = _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret)
+    return out, (feat_soa, gid_al, valid, aoff, counts, out, xy.shape[0])
 
 
 def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
-    feat_al, gid_al, valid, aoff, counts, fwd_out, n = res
-    dfeat_al = _bwd_call(
-        feat_al, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
+    feat_soa, gid_al, valid, aoff, counts, fwd_out, n = res
+    dfeat_soa = _bwd_call(
+        feat_soa, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
     )
-    dfeat_al = jnp.where(valid[:, None], dfeat_al, 0.0)
-    dfeat = jax.ops.segment_sum(dfeat_al, gid_al, num_segments=n)
+    dfeat = jnp.where(valid[None, :], dfeat_soa, 0.0)  # (FEAT, S)
+    dfeat = jax.ops.segment_sum(dfeat.T, gid_al, num_segments=n)  # (N, FEAT)
     return (
         dfeat[:, 0:2],  # d xy
         dfeat[:, 2:5],  # d conic
@@ -440,11 +455,11 @@ def render_tiles_pallas(
     tiles = blend_pallas(
         xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
     )
-    color = tiles[:, 0:3, :]  # (T, 3, P)
-    final_t = tiles[:, 3, :]  # (T, P)
-    color = color + final_t[:, None, :] * bg[None, :, None]
-    color = color.reshape(grid_y, grid_x, 3, tile, tile)
-    color = jnp.transpose(color, (2, 0, 3, 1, 4)).reshape(3, grid_y * tile, grid_x * tile)
+    color = tiles[:, :, 0:3]  # (T, P, 3)
+    final_t = tiles[:, :, 3]  # (T, P)
+    color = color + final_t[:, :, None] * bg[None, None, :]
+    color = color.reshape(grid_y, grid_x, tile, tile, 3)
+    color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * tile, grid_x * tile)
     final_t = final_t.reshape(grid_y, grid_x, tile, tile)
     final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * tile, grid_x * tile)
     return color, final_t

@@ -1,0 +1,211 @@
+"""GaussianModel: construction, activations, optimizer, density control."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gaussian_splatting_with_eye_tracking_tpu.config import OptimizationConfig
+from gaussian_splatting_with_eye_tracking_tpu.models import gaussian_model as gm
+
+
+def small_state(n=32, cap=64, sh_degree=2, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    opt = OptimizationConfig()
+    state, tx = gm.create_from_points(pts, cols, sh_degree, opt, 1.0, capacity=cap)
+    return state, tx, opt, pts, cols
+
+
+class TestConstruction:
+    def test_init_shapes_and_active(self):
+        state, tx, opt, pts, cols = small_state()
+        assert state.params.xyz.shape == (64, 3)
+        assert state.params.f_rest.shape == (64, 3, 8)
+        assert int(gm.num_active(state)) == 32
+        np.testing.assert_allclose(state.params.xyz[:32], pts, atol=1e-6)
+
+    def test_initial_opacity_and_scale(self):
+        state, *_ = small_state()
+        op = gm.get_opacity(state.params)
+        np.testing.assert_allclose(np.asarray(op[:32]), 0.1, atol=1e-5)
+        s = gm.get_scaling(state.params)
+        assert (np.asarray(s[:32]) > 0).all()
+        # isotropic init: all three equal
+        np.testing.assert_allclose(s[:32, 0], s[:32, 1], rtol=1e-5)
+
+    def test_dc_color_roundtrip(self):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import sh as sh_ops
+
+        state, tx, opt, pts, cols = small_state()
+        rgb = sh_ops.sh_dc_to_rgb(state.params.f_dc[:32, :, 0])
+        np.testing.assert_allclose(np.asarray(rgb), cols, atol=1e-5)
+
+
+class TestOptimizer:
+    def test_adam_step_moves_params(self):
+        state, tx, opt, *_ = small_state()
+        g = jax.tree.map(jnp.ones_like, state.params)
+        updates, opt_state = tx.update(g, state.opt_state, state.params)
+        new = optax.apply_updates(state.params, updates)
+        assert not np.allclose(new.xyz, state.params.xyz)
+        # per-group LR: feature_rest moves 20x slower than f_dc after warmup
+        d_dc = float(jnp.abs(new.f_dc - state.params.f_dc).max())
+        d_rest = float(jnp.abs(new.f_rest - state.params.f_rest).max())
+        assert d_dc == pytest.approx(opt.feature_lr, rel=0.05)
+        assert d_rest == pytest.approx(opt.feature_lr / 20, rel=0.05)
+
+    def test_xyz_lr_schedule_decays(self):
+        sched = gm.expon_lr_schedule(1e-2, 1e-4, 0.01, 1000)
+        assert float(sched(0)) == pytest.approx(1e-2, rel=1e-4)
+        assert float(sched(1000)) == pytest.approx(1e-4, rel=1e-4)
+        assert float(sched(500)) == pytest.approx(1e-3, rel=1e-3)
+
+    def test_zero_grad_keeps_inactive_rows_fixed(self):
+        state, tx, opt, *_ = small_state()
+        g = jax.tree.map(jnp.zeros_like, state.params)
+        updates, _ = tx.update(g, state.opt_state, state.params)
+        new = optax.apply_updates(state.params, updates)
+        np.testing.assert_allclose(new.xyz, state.params.xyz, atol=0)
+
+
+class TestDensityControl:
+    def test_clone_small_high_grad(self):
+        state, tx, opt, *_ = small_state()
+        # force: gaussians 0..3 high grad, tiny scale -> clone
+        state = state._replace(
+            xyz_grad_accum=state.xyz_grad_accum.at[:4].set(10.0),
+            denom=state.denom.at[:].set(1.0),
+            params=state.params._replace(
+                scaling=state.params.scaling.at[:].set(-10.0)
+            ),
+        )
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1.0, min_opacity=0.0,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert int(info["cloned"]) == 4
+        assert int(info["split"]) == 0
+        assert int(gm.num_active(new)) == 36
+
+    def test_split_large_high_grad(self):
+        state, tx, opt, *_ = small_state()
+        state = state._replace(
+            xyz_grad_accum=state.xyz_grad_accum.at[:3].set(10.0),
+            denom=state.denom.at[:].set(1.0),
+            params=state.params._replace(
+                scaling=state.params.scaling.at[:].set(jnp.log(0.5))
+            ),
+        )
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1.0, min_opacity=0.0,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert int(info["split"]) == 3
+        # net count: split = +1 per candidate
+        assert int(gm.num_active(new)) == 35
+        # children scale = scale / 1.6
+        split_scale = np.exp(np.asarray(new.params.scaling[:3]))
+        np.testing.assert_allclose(split_scale, 0.5 / 1.6, rtol=1e-5)
+
+    def test_prune_low_opacity(self):
+        state, tx, opt, *_ = small_state()
+        low = state.params.opacity.at[:10].set(gm.inverse_sigmoid(jnp.asarray(0.001)))
+        state = state._replace(params=state.params._replace(opacity=low))
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1e9, min_opacity=0.005,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert int(info["pruned"]) == 10
+        assert int(gm.num_active(new)) == 22
+        assert not bool(new.active[:10].any())
+
+    def test_prune_screen_and_world_size(self):
+        state, tx, opt, *_ = small_state()
+        state = state._replace(max_radii2d=state.max_radii2d.at[5].set(100.0))
+        big = state.params.scaling.at[7].set(jnp.log(10.0))
+        state = state._replace(params=state.params._replace(scaling=big))
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1e9, min_opacity=0.0,
+            extent=50.0, max_screen_size=20.0,
+        )
+        assert int(info["pruned"]) == 2
+        assert not bool(new.active[5]) and not bool(new.active[7])
+
+    def test_capacity_overflow_graceful(self):
+        state, tx, opt, *_ = small_state(n=60, cap=64)
+        state = state._replace(
+            xyz_grad_accum=state.xyz_grad_accum.at[:60].set(10.0),
+            denom=state.denom.at[:].set(1.0),
+            params=state.params._replace(scaling=state.params.scaling.at[:].set(-10.0)),
+        )
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1.0, min_opacity=0.0,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert int(gm.num_active(new)) == 64  # filled, not corrupted
+        assert int(info["overflow"]) == 60 - 4
+        assert np.isfinite(np.asarray(new.params.xyz)).all()
+
+    def test_stats_reset_after_densify(self):
+        state, tx, opt, *_ = small_state()
+        state = state._replace(denom=state.denom.at[:].set(5.0))
+        new, _ = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1e9, min_opacity=0.0,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert float(new.denom.sum()) == 0.0
+        assert float(new.xyz_grad_accum.sum()) == 0.0
+
+    def test_moments_zeroed_for_new_slots(self):
+        state, tx, opt, *_ = small_state()
+        # fake nonzero moments everywhere
+        opt_state = jax.tree.map(
+            lambda x: jnp.ones_like(x) if hasattr(x, "shape") and x.ndim > 0 else x,
+            state.opt_state,
+        )
+        state = state._replace(
+            opt_state=opt_state,
+            xyz_grad_accum=state.xyz_grad_accum.at[:2].set(10.0),
+            denom=state.denom.at[:].set(1.0),
+            params=state.params._replace(scaling=state.params.scaling.at[:].set(-10.0)),
+        )
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1.0, min_opacity=0.0,
+            extent=1.0, max_screen_size=0.0,
+        )
+        assert int(info["cloned"]) == 2
+        # the clone target slots (32, 33) must have zeroed moments
+        mus = [x for x in jax.tree.leaves(new.opt_state)
+               if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == 64]
+        assert mus, "no per-row moment arrays found"
+        for m in mus:
+            assert float(jnp.abs(m[32:34]).sum()) == 0.0
+
+
+class TestOpacityReset:
+    def test_reset_caps_opacity(self):
+        state, tx, opt, *_ = small_state()
+        high = state.params.opacity.at[:].set(gm.inverse_sigmoid(jnp.asarray(0.9)))
+        state = state._replace(params=state.params._replace(opacity=high))
+        new = gm.reset_opacity(state)
+        op = gm.get_opacity(new.params)
+        assert float(op.max()) <= 0.01 + 1e-6
+
+
+class TestSHDegreeAnnealing:
+    def test_oneup_caps_at_max(self):
+        state, *_ = small_state(sh_degree=2)
+        for _ in range(5):
+            state = gm.oneup_sh_degree(state, 2)
+        assert int(state.sh_degree) == 2
+
+    def test_band_mask(self):
+        from gaussian_splatting_with_eye_tracking_tpu.renderer import sh_band_mask
+
+        m = sh_band_mask(jnp.int32(1), 3)
+        np.testing.assert_array_equal(
+            np.asarray(m), [True] * 4 + [False] * 12
+        )

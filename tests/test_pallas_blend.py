@@ -1,0 +1,162 @@
+"""Pallas tile kernels (interpret mode on CPU) vs the jnp tile renderer and
+the naive oracle: forward parity, gradient parity, early-exit behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_with_eye_tracking_tpu.ops import binning as binning_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend, tile_blend
+from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
+from gaussian_splatting_with_eye_tracking_tpu.ops.projection import preprocess
+from tests.helpers import make_camera, make_random_gaussians
+
+BG = jnp.array([0.15, 0.25, 0.35])
+
+
+def setup_scene(n=300, seed=0, w=64, h=64):
+    cam = make_camera(w, h)
+    means, scales, quats, op, sh = make_random_gaussians(n, seed=seed)
+    prep = preprocess(means, scales, quats, op, sh, 0, cam)
+    gx, gy = -(-w // 32), -(-h // 32)
+    b = binning_ops.bin_gaussians(prep, gx, gy, max_instances=1 << 13)
+    return cam, prep, b, gx, gy
+
+
+class TestAlignCSR:
+    def test_alignment_properties(self):
+        offsets = jnp.array([0, 5, 5, 133, 140], jnp.int32)
+        chunk = 64
+        total = 5 * 64 + 140
+        src, valid, aoff, counts = pallas_blend.align_csr(offsets, chunk, total)
+        aoff_n = np.asarray(aoff)
+        assert (aoff_n % chunk == 0).all()
+        np.testing.assert_array_equal(np.asarray(counts), [5, 0, 128, 7])
+        # each tile's valid slots map to its original contiguous range
+        for t in range(4):
+            sl = np.arange(aoff_n[t], aoff_n[t] + int(counts[t]))
+            np.testing.assert_array_equal(
+                np.asarray(src)[sl], np.arange(int(offsets[t]), int(offsets[t + 1]))
+            )
+            assert np.asarray(valid)[sl].all()
+            assert not np.asarray(valid)[aoff_n[t] + int(counts[t]): aoff_n[t + 1]].any()
+
+
+class TestPallasForward:
+    def test_matches_jnp_tiles(self):
+        cam, prep, b, gx, gy = setup_scene()
+        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities, b.gauss_id, b.offsets)
+        want_c, want_t = tile_blend.render_tiles_jnp(
+            *args, gx, gy, 32, BG, max_per_tile=512
+        )
+        got_c, got_t = pallas_blend.render_tiles_pallas(
+            *args, gx, gy, 32, BG, chunk=128, interpret=True
+        )
+        np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(got_t, want_t, atol=3e-4)
+
+    def test_multiple_chunks_per_tile(self):
+        """Instance count forces several chunks; parity must hold across
+        chunk boundaries (carry logic)."""
+        cam, prep, b, gx, gy = setup_scene(n=500, seed=1)
+        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities, b.gauss_id, b.offsets)
+        want_c, _ = tile_blend.render_tiles_jnp(*args, gx, gy, 32, BG, max_per_tile=512)
+        got_c, _ = pallas_blend.render_tiles_pallas(
+            *args, gx, gy, 32, BG, chunk=32, interpret=True
+        )
+        np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
+
+    def test_early_exit_saturated_tile(self):
+        """Opaque wall of gaussians: kernel must early-exit chunks but still
+        match the relaxed-semantics jnp path within the 1e-4 bound."""
+        n = 600
+        rng = np.random.default_rng(2)
+        xy = jnp.asarray(
+            np.stack([rng.uniform(0, 32, n), rng.uniform(0, 32, n)], -1).astype(np.float32)
+        )
+        conic = jnp.tile(jnp.array([[0.01, 0.0, 0.01]]), (n, 1))
+        rgb = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+        op = jnp.full((n,), 0.95)
+        gid = jnp.arange(n, dtype=jnp.int32)
+        offsets = jnp.array([0, n], jnp.int32)
+        got_c, got_t = pallas_blend.render_tiles_pallas(
+            xy, conic, rgb, op, gid, offsets, 1, 1, 32, BG, chunk=64, interpret=True
+        )
+        want_c, want_t = tile_blend.render_tiles_jnp(
+            xy, conic, rgb, op, gid, offsets, 1, 1, 32, BG, max_per_tile=n
+        )
+        assert float(got_t.max()) < 1e-3
+        np.testing.assert_allclose(got_c, want_c, atol=5e-4, rtol=1e-2)
+
+
+class TestPallasGradients:
+    def test_grad_parity_with_jnp(self):
+        cam, prep, b, gx, gy = setup_scene(n=150, seed=3, w=64, h=32)
+        inputs = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
+
+        def loss_pallas(xy, conic, rgb, op):
+            c, t = pallas_blend.render_tiles_pallas(
+                xy, conic, rgb, op, b.gauss_id, b.offsets, gx, gy, 32, BG,
+                chunk=64, interpret=True,
+            )
+            return jnp.sum(c**2) + jnp.sum(t * 0.3)
+
+        def loss_jnp(xy, conic, rgb, op):
+            c, t = tile_blend.render_tiles_jnp(
+                xy, conic, rgb, op, b.gauss_id, b.offsets, gx, gy, 32, BG,
+                max_per_tile=256,
+            )
+            return jnp.sum(c**2) + jnp.sum(t * 0.3)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*inputs)
+        gj = jax.grad(loss_jnp, argnums=(0, 1, 2, 3))(*inputs)
+        for p_, j_, name in zip(gp, gj, ["xy", "conic", "rgb", "op"]):
+            np.testing.assert_allclose(
+                np.asarray(p_), np.asarray(j_), atol=2e-3, rtol=5e-3,
+                err_msg=f"pallas grad mismatch: {name}",
+            )
+
+    def test_bg_gradient_flows(self):
+        cam, prep, b, gx, gy = setup_scene(n=100, seed=4, w=32, h=32)
+
+        def loss(bg):
+            c, _ = pallas_blend.render_tiles_pallas(
+                prep.means2d, prep.conics, prep.rgb, prep.opacities,
+                b.gauss_id, b.offsets, gx, gy, 32, bg, chunk=64, interpret=True,
+            )
+            return jnp.sum(c)
+
+        g = jax.grad(loss)(BG)
+        assert np.isfinite(np.asarray(g)).all() and float(g.min()) > 0
+
+
+class TestRasterizePallasPath:
+    def test_end_to_end_matches_jnp_impl(self):
+        cam = make_camera(64, 64)
+        means, scales, quats, op, sh = make_random_gaussians(250, seed=5)
+        kw = dict(sh_degree=0, max_instances=1 << 12, max_per_tile=512)
+        want = rast.rasterize(means, scales, quats, op, sh, cam, BG, impl="jnp", **kw)
+        got = rast.rasterize(means, scales, quats, op, sh, cam, BG, impl="pallas", **kw)
+        np.testing.assert_allclose(got.color, want.color, atol=3e-4, rtol=1e-3)
+
+    def test_end_to_end_grads(self):
+        cam = make_camera(32, 32)
+        means, scales, quats, op, sh = make_random_gaussians(80, seed=6)
+        kw = dict(sh_degree=0, max_instances=1 << 11, max_per_tile=128)
+
+        def loss(impl, *args):
+            out = rast.rasterize(*args, cam, BG, impl=impl, **kw)
+            return jnp.mean(out.color**2)
+
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(
+            means, scales, quats, op, sh
+        )
+        gj = jax.grad(lambda *a: loss("jnp", *a), argnums=(0, 1, 2, 3, 4))(
+            means, scales, quats, op, sh
+        )
+        for p_, j_, name in zip(gp, gj, ["means", "scales", "quats", "op", "sh"]):
+            np.testing.assert_allclose(
+                np.asarray(p_), np.asarray(j_), atol=1e-4, rtol=5e-3,
+                err_msg=f"e2e pallas grad mismatch: {name}",
+            )
