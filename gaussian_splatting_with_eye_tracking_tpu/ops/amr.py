@@ -1,0 +1,275 @@
+"""AMR (adaptive-mesh-refinement) foveated rendering.
+
+TPU-native rebuild of the reference's AMR rasterizer fork
+(submodules/diff-gaussian-rasterization-amr):
+
+- Per-tile refinement levels 1..4 from the tile's gaussian-intersection
+  count, binned at the 25/50/90th percentiles (amr/rasterizer_impl.cu:
+  603-644: calculateIntersections + radix-sorted counts + setAMRLevels).
+- Each 32x32 tile decomposes into 4 interleaved 16x16 pixel subgrids
+  ("rounds"); round r covers pixels with offset (ox, oy) where
+  (0,0)->1, (1,1)->2, (1,0)->3, (0,1)->4 (amr/forward.cu:313-338).
+  A level-L tile computes rounds 1..L exactly; the rest is filled by
+  copying from the level's "last accurate round" pixel
+  (amr/forward.cu:617-646: L in {1,2} -> (0,0), L >= 3 -> (1,1)).
+- The 5-call fovea-step protocol (gaussian_renderer_amr/__init__.py:130-594):
+  step 0 preprocesses + bins + assigns levels, steps 1..4 render round k for
+  tiles whose level >= k, chaining state between calls. Here the chained
+  CUDA byte-buffers become an explicit AMRState pytree.
+- Gaze-driven foveation (the reference's acknowledged TODO,
+  track_render.py:99-106 + unused foveaCenters gaussian_renderer_amr/
+  __init__.py:98-106): eccentricity rings around the gaze point CAP the
+  level far from the fovea and FLOOR it at the center.
+
+Forward-only, matching the reference (its AMR autograd backward is
+inconsistent and unused — SURVEY.md section 2.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_with_eye_tracking_tpu.ops import binning as binning_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import tile_blend
+from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+    CameraParams,
+    Preprocessed,
+    preprocess,
+)
+
+# round r (1..4) -> pixel offset within each 2x2 cell (amr/forward.cu:313-338)
+ROUND_OFFSET = {1: (0, 0), 2: (1, 1), 3: (1, 0), 4: (0, 1)}
+# level L -> offset of the source pixel used to fill un-rendered rounds
+# (amr/forward.cu:617-632; default case L=1 -> (0,0))
+LEVEL_FILL_OFFSET = {1: (0, 0), 2: (0, 0), 3: (1, 1), 4: (1, 1)}
+
+
+class AMRState(NamedTuple):
+    """The cross-step carry (replaces the chained geom/binning/image
+    byte-buffers of the CUDA protocol)."""
+
+    xy: jnp.ndarray  # (N, 2) screen positions
+    conics: jnp.ndarray  # (N, 3)
+    rgb: jnp.ndarray  # (N, 3)
+    opacities: jnp.ndarray  # (N,)
+    gauss_id: jnp.ndarray  # (K,) sorted instance list
+    offsets: jnp.ndarray  # (T+1,)
+    tile_levels: jnp.ndarray  # (T,) int32 target level 1..4
+    tile_levels_last: jnp.ndarray  # (T,) int32 level already rendered (0 init)
+    color: jnp.ndarray  # (3, H', W') accumulated image (pre-crop)
+    final_t: jnp.ndarray  # (H', W')
+    num_instances: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def assign_levels(
+    counts: jnp.ndarray, percentiles=(0.25, 0.5, 0.9), max_levels: int = 4
+) -> jnp.ndarray:
+    """Percentile-binned AMR levels (amr/rasterizer_impl.cu:609-644):
+    counts <= q25 -> 1, <= q50 -> 2, <= q90 -> 3, else 4."""
+    srt = jnp.sort(counts)
+    n = counts.shape[0]
+    level = jnp.ones_like(counts)
+    for p in percentiles:
+        thr = srt[jnp.minimum((jnp.asarray(p) * n).astype(jnp.int32), n - 1)]
+        level = level + (counts > thr)
+    return jnp.minimum(level, max_levels)
+
+
+def gaze_levels(
+    tile_levels: jnp.ndarray,
+    grid_x: int,
+    grid_y: int,
+    tile: int,
+    gaze_xy: jnp.ndarray,  # (2,) pixel coords of the gaze point
+    radii: jnp.ndarray,  # (3,) eccentricity ring radii in pixels (r4, r3, r2)
+) -> jnp.ndarray:
+    """Gaze-driven override: tiles within radii[0] of the gaze render at
+    full level 4; outside radii[i] the level is capped at 3-i; beyond the
+    last ring everything is level 1. Implements the reference's fovea TODO
+    with its (unused) center/radius scheme
+    (gaussian_renderer_amr/__init__.py:98-106)."""
+    t = jnp.arange(grid_x * grid_y)
+    cx = (t % grid_x) * tile + tile / 2.0
+    cy = (t // grid_x) * tile + tile / 2.0
+    d = jnp.sqrt((cx - gaze_xy[0]) ** 2 + (cy - gaze_xy[1]) ** 2)
+    cap = (
+        4 * (d <= radii[0])
+        + 3 * ((d > radii[0]) & (d <= radii[1]))
+        + 2 * ((d > radii[1]) & (d <= radii[2]))
+        + 1 * (d > radii[2])
+    )
+    boosted = jnp.where(d <= radii[0], 4, jnp.minimum(tile_levels, cap))
+    return boosted.astype(jnp.int32)
+
+
+def fovea_step0(
+    means3d, scales, quats, opacities, sh, sh_degree, cam: CameraParams,
+    *,
+    tile: int = 32,
+    max_instances: int = 1 << 20,
+    active_mask=None,
+    gaze_xy: Optional[jnp.ndarray] = None,
+    gaze_radii: Optional[jnp.ndarray] = None,
+    percentiles=(0.25, 0.5, 0.9),
+) -> AMRState:
+    """Step 0: preprocess + bin + level assignment, no rendering
+    (amr/rasterizer_impl.cu:470-653 foveaStep==0 path)."""
+    grid_x = -(-cam.width // tile)
+    grid_y = -(-cam.height // tile)
+    prep = preprocess(
+        means3d, scales, quats, opacities, sh, sh_degree, cam,
+        tile=tile, active_mask=active_mask,
+    )
+    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances)
+    counts = b.offsets[1:] - b.offsets[:-1]
+    levels = assign_levels(counts, percentiles)
+    if gaze_xy is not None:
+        levels = gaze_levels(levels, grid_x, grid_y, tile, gaze_xy, gaze_radii)
+    return AMRState(
+        xy=prep.means2d, conics=prep.conics, rgb=prep.rgb,
+        opacities=prep.opacities,
+        gauss_id=b.gauss_id, offsets=b.offsets,
+        tile_levels=levels.astype(jnp.int32),
+        tile_levels_last=jnp.zeros_like(levels, dtype=jnp.int32),
+        color=jnp.zeros((3, grid_y * tile, grid_x * tile)),
+        final_t=jnp.ones((grid_y * tile, grid_x * tile)),
+        num_instances=b.num_instances,
+        overflow=b.overflow,
+    )
+
+
+def _round_tiles(state: AMRState, rnd: int, grid_x, grid_y, tile, impl,
+                 max_per_tile, chunk, interpret):
+    """Composite round ``rnd``'s pixel subgrid over all tiles (tiles below
+    the level gate get zero instances -> they only cost background)."""
+    offx, offy = ROUND_OFFSET[rnd]
+    gate = state.tile_levels >= rnd
+    # collapse gated-off tiles to zero instances via the counts override
+    counts = state.offsets[1:] - state.offsets[:-1]
+    gated_counts = jnp.where(gate, counts, 0).astype(jnp.int32)
+    if impl == "pallas":
+        from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
+
+        tiles = pallas_blend.blend_round_pallas(
+            state.xy, state.conics, state.rgb, state.opacities,
+            state.gauss_id, state.offsets, grid_x, grid_y, tile,
+            stride=2, offx=offx, offy=offy, chunk=chunk, interpret=interpret,
+            counts_override=gated_counts,
+        )
+        pw = tile // 2
+        color = tiles[:, :, 0:3].reshape(grid_y, grid_x, pw, pw, 3)
+        color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * pw, grid_x * pw)
+        final_t = tiles[:, :, 3].reshape(grid_y, grid_x, pw, pw)
+        final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * pw, grid_x * pw)
+    else:
+        color, final_t = tile_blend.render_tiles_jnp(
+            state.xy, state.conics, state.rgb, state.opacities,
+            state.gauss_id, state.offsets, grid_x, grid_y, tile,
+            jnp.zeros(3), max_per_tile=max_per_tile,
+            stride=2, offx=offx, offy=offy, counts=gated_counts,
+        )
+    return color, final_t, gate
+
+
+def fovea_step_render(
+    state: AMRState, rnd: int, grid_x: int, grid_y: int, tile: int = 32,
+    *, impl: str = "jnp", max_per_tile: int = 1024, chunk: int = 128,
+    interpret: Optional[bool] = None,
+) -> AMRState:
+    """Step k (k = 1..4): render round k for tiles with level >= k and merge
+    into the accumulated image (amr/rasterizer_impl.cu:334-460 foveaStep>=1:
+    state re-derived from the carry, only upgraded tiles touched)."""
+    color_r, final_t_r, gate = _round_tiles(
+        state, rnd, grid_x, grid_y, tile, impl, max_per_tile, chunk, interpret
+    )
+    offx, offy = ROUND_OFFSET[rnd]
+    # scatter the round's strided pixels into the full image where gated
+    pw = tile // 2
+    gate_px = jnp.repeat(jnp.repeat(gate.reshape(grid_y, grid_x), pw, 0), pw, 1)
+    gate_px = gate_px.reshape(grid_y * pw, grid_x * pw)
+    cur_c = state.color[:, offy::2, offx::2]
+    cur_t = state.final_t[offy::2, offx::2]
+    new_c = jnp.where(gate_px[None], color_r, cur_c)
+    new_t = jnp.where(gate_px, final_t_r, cur_t)
+    color = state.color.at[:, offy::2, offx::2].set(new_c)
+    final_t = state.final_t.at[offy::2, offx::2].set(new_t)
+    levels_last = jnp.where(gate, jnp.maximum(state.tile_levels_last, rnd),
+                            state.tile_levels_last)
+    return state._replace(
+        color=color, final_t=final_t, tile_levels_last=levels_last.astype(jnp.int32)
+    )
+
+
+def interpolate(state: AMRState, grid_x: int, grid_y: int, tile: int = 32) -> AMRState:
+    """Fill pixels of rounds > tile level by copying the level's source pixel
+    (amr/forward.cu:574-650 interpolateCUDA semantics)."""
+    h, w = state.final_t.shape
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    tilemap = state.tile_levels.reshape(grid_y, grid_x)
+    lvl = tilemap[jnp.minimum(yy // tile, grid_y - 1), jnp.minimum(xx // tile, grid_x - 1)]
+    # round of each pixel from its (x%2, y%2)
+    ox = xx % 2
+    oy = yy % 2
+    rnd = jnp.select(
+        [
+            (ox == 0) & (oy == 0),
+            (ox == 1) & (oy == 1),
+            (ox == 1) & (oy == 0),
+        ],
+        [1, 2, 3],
+        default=4,
+    )
+    # source pixel offset by level
+    src_ox = jnp.where(lvl >= 3, 1, 0)
+    src_oy = jnp.where(lvl >= 3, 1, 0)
+    sx = (xx // 2) * 2 + src_ox
+    sy = (yy // 2) * 2 + src_oy
+    need = rnd > lvl
+    color = jnp.where(need[None], state.color[:, sy, sx], state.color)
+    final_t = jnp.where(need, state.final_t[sy, sx], state.final_t)
+    return state._replace(color=color, final_t=final_t)
+
+
+def render_amr(
+    means3d, scales, quats, opacities, sh, sh_degree, cam: CameraParams, bg,
+    *,
+    tile: int = 32,
+    max_instances: int = 1 << 20,
+    max_per_tile: int = 1024,
+    impl: str = "jnp",
+    active_mask=None,
+    gaze_xy=None,
+    gaze_radii=None,
+    interpolate_image: bool = True,
+    chunk: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Full 5-step foveated AMR render (reference
+    gaussian_renderer_amr/__init__.py:130-594 render(); render_once() is the
+    same with all levels forced through in one call :612-749).
+
+    Returns (color (3,H,W), state) — color includes background compositing.
+    """
+    grid_x = -(-cam.width // tile)
+    grid_y = -(-cam.height // tile)
+    state = fovea_step0(
+        means3d, scales, quats, opacities, sh, sh_degree, cam,
+        tile=tile, max_instances=max_instances, active_mask=active_mask,
+        gaze_xy=gaze_xy, gaze_radii=gaze_radii,
+    )
+    for rnd in range(1, 5):
+        state = fovea_step_render(
+            state, rnd, grid_x, grid_y, tile,
+            impl=impl, max_per_tile=max_per_tile, chunk=chunk, interpret=interpret,
+        )
+    if interpolate_image:
+        state = interpolate(state, grid_x, grid_y, tile)
+    color = state.color + state.final_t[None] * bg[:, None, None]
+    color = color[:, : cam.height, : cam.width]
+    return color, state

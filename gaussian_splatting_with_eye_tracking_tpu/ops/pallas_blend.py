@@ -102,12 +102,16 @@ def _alpha_terms(f, px, py, lane_ids, n):
     return alpha, alpha_raw, g, power, dx, dy, keep
 
 
-def _pixel_coords(tile_xy_ref, t, pixels, tile):
+def _pixel_coords(tile_xy_ref, t, pixels, tile, stride=1, offx=0, offy=0):
+    """Pixel centers of this tile's (sub)grid. stride/offx/offy implement the
+    AMR round pixel pattern (amr/forward.cu:294-305: pix = pix_0*R + offset);
+    stride=1 is the full-resolution tile."""
     ox = tile_xy_ref[t, 0]
     oy = tile_xy_ref[t, 1]
+    pw = tile // stride
     pix = jax.lax.broadcasted_iota(jnp.int32, (pixels, 1), 0)
-    px = (ox + pix % tile).astype(jnp.float32)
-    py = (oy + pix // tile).astype(jnp.float32)
+    px = (ox + (pix % pw) * stride + offx).astype(jnp.float32)
+    py = (oy + (pix // pw) * stride + offy).astype(jnp.float32)
     return px, py
 
 
@@ -119,17 +123,19 @@ def _fwd_kernel(
     out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
     fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
-    *, chunk: int, pixels: int, tile: int,
+    *, chunk: int, pixels: int, tile: int, stride: int = 1,
+    offx: int = 0, offy: int = 0,
 ):
     t = pl.program_id(0)
     start = aoff_ref[t]
     n = counts_ref[t]
     n_chunks = pl.cdiv(n, chunk)
-    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile)
+    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile, stride, offx, offy)
 
     def dma(slot, ci):
+        off = pl.multiple_of(start + ci * chunk, chunk)
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            feat_hbm.at[:, pl.ds(off, chunk)],
             fbuf.at[slot],
             sem.at[slot],
         )
@@ -171,6 +177,11 @@ def _fwd_kernel(
         cond, body, (jnp.int32(0), zero, zero, zero, zero, jnp.bool_(False))
     )
 
+    # early exit leaves the prefetched next chunk's DMA in flight: drain it
+    @pl.when(ci < n_chunks)
+    def _():
+        dma(ci % 2, ci).wait()
+
     out_ref[0, :, 0:1] = cr
     out_ref[0, :, 1:2] = cg
     out_ref[0, :, 2:3] = cb_
@@ -207,15 +218,17 @@ def _bwd_kernel(
     n_chunks_done = fwdout_ref[0, 0, 4].astype(jnp.int32)
 
     def dma_in(slot, ci):
+        off = pl.multiple_of(start + ci * chunk, chunk)
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            feat_hbm.at[:, pl.ds(off, chunk)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
     def write_out(ci):
+        off = pl.multiple_of(start + ci * chunk, chunk)
         out_dma = pltpu.make_async_copy(
-            dbuf, dfeat_hbm.at[:, pl.ds(start + ci * chunk, chunk)], outsem
+            dbuf, dfeat_hbm.at[:, pl.ds(off, chunk)], outsem
         )
         out_dma.start()
         out_dma.wait()
@@ -293,14 +306,16 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def align_csr(offsets, chunk: int, total_slots: int):
+def align_csr(offsets, chunk: int, total_slots: int, counts=None):
     """Re-map CSR instance slices to chunk-aligned start positions.
 
     Returns (src (S,) int32 index into the original instance axis,
     valid (S,) bool, aligned_offsets (T+1,) int32, counts (T,) int32).
     ``total_slots`` must statically bound sum(ceil(count/chunk))*chunk.
+    ``counts`` optionally overrides per-tile lengths (AMR level gating).
     """
-    counts = offsets[1:] - offsets[:-1]
+    if counts is None:
+        counts = offsets[1:] - offsets[:-1]
     aligned = ((counts + chunk - 1) // chunk) * chunk
     aoff = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
@@ -333,9 +348,10 @@ def _tile_origins(grid_x: int, grid_y: int, tile: int):
     return jnp.stack([(t % grid_x) * tile, (t // grid_x) * tile], axis=-1)
 
 
-def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret):
+def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
+              stride=1, offx=0, offy=0):
     num_tiles = grid_x * grid_y
-    pixels = tile * tile
+    pixels = (tile // stride) * (tile // stride)
     tile_xy = _tile_origins(grid_x, grid_y, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -350,7 +366,8 @@ def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
+        functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
+                          stride=stride, offx=offx, offy=offy),
         out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -405,11 +422,12 @@ def blend_pallas(
     return out
 
 
-def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk):
+def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
+                      counts_override=None):
     k = gauss_id.shape[0]
     num_tiles = grid_x * grid_y
     total_slots = k + num_tiles * chunk  # static bound on the aligned length
-    src, valid, aoff, counts = align_csr(offsets, chunk, total_slots)
+    src, valid, aoff, counts = align_csr(offsets, chunk, total_slots, counts_override)
     gid_al = jnp.where(valid, gauss_id[src], 0)
     feat_soa = pack_features_soa(xy, conic, rgb, op, gid_al, valid)
     return feat_soa, gid_al, valid, aoff, counts
@@ -463,3 +481,25 @@ def render_tiles_pallas(
     final_t = final_t.reshape(grid_y, grid_x, tile, tile)
     final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * tile, grid_x * tile)
     return color, final_t
+
+
+def blend_round_pallas(
+    xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile,
+    *, stride=1, offx=0, offy=0, chunk: int = 128, interpret: bool | None = None,
+    counts_override=None,
+):
+    """Forward-only strided-subgrid compositing for AMR rounds
+    (amr/forward.cu renderCUDA pixel pattern). Returns tiles
+    (num_tiles, (tile/stride)^2, OUTC); no custom_vjp (the reference AMR
+    path is forward-only: its autograd backward is broken and unused,
+    SURVEY.md section 2.2)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    feat_soa, gid_al, valid, aoff, counts = _aligned_features(
+        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
+        counts_override=counts_override,
+    )
+    return _fwd_call(
+        feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
+        stride=stride, offx=offx, offy=offy,
+    )

@@ -124,7 +124,7 @@ def rasterize(
     return _rasterize_impl(
         means3d, scales, quats, opacities, sh, means2d_offset, bg, active_mask,
         cam.viewmatrix, cam.projmatrix, cam.campos,
-        float(cam.tan_fovx), float(cam.tan_fovy),
+        jnp.asarray(cam.tan_fovx, jnp.float32), jnp.asarray(cam.tan_fovy, jnp.float32),
         sh_degree=sh_degree, width=cam.width, height=cam.height, tile=tile,
         max_instances=max_instances, max_per_tile=max_per_tile, impl=impl,
         scale_modifier=scale_modifier,

@@ -36,13 +36,19 @@ class TileBlendOut(NamedTuple):
     final_t: jnp.ndarray  # (T, P)
 
 
-def dense_tile_instances(gauss_id, offsets, max_per_tile):
+def dense_tile_instances(gauss_id, offsets, max_per_tile, counts=None):
     """CSR instance list -> dense (num_tiles, max_per_tile) gaussian indices +
-    validity mask. Truncates tiles denser than the cap (reported upstream)."""
+    validity mask. Truncates tiles denser than the cap (reported upstream).
+    ``counts`` optionally overrides per-tile lengths (used by AMR level
+    gating to collapse skipped tiles to zero work)."""
     num_tiles = offsets.shape[0] - 1
     k = gauss_id.shape[0]
+    if counts is None:
+        ends = offsets[1:]
+    else:
+        ends = offsets[:-1] + counts
     idx = offsets[:-1, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    valid = idx < offsets[1:, None]
+    valid = idx < ends[:, None]
     g = gauss_id[jnp.clip(idx, 0, k - 1)]
     return g, valid, num_tiles
 
@@ -78,14 +84,18 @@ def render_tiles_jnp(
     xy, conic, rgb, op, gauss_id, offsets,
     grid_x: int, grid_y: int, tile: int, bg,
     max_per_tile: int = 1024, tiles_per_block: int = 8,
+    stride: int = 1, offx: int = 0, offy: int = 0, counts=None,
 ):
     """Full-image tile renderer in pure XLA. Returns (color (3, H, W),
-    final_t (H, W)) with H = grid_y*tile, W = grid_x*tile (crop upstream)."""
-    g, valid, num_tiles = dense_tile_instances(gauss_id, offsets, max_per_tile)
+    final_t (H, W)) with H = grid_y*tile, W = grid_x*tile (crop upstream).
+    stride/offx/offy select an AMR-round pixel subgrid (output spatial dims
+    shrink by stride)."""
+    g, valid, num_tiles = dense_tile_instances(gauss_id, offsets, max_per_tile, counts)
 
-    p = jnp.arange(tile * tile, dtype=jnp.float32)
-    px_local = p % tile
-    py_local = p // tile
+    pw = tile // stride
+    p = jnp.arange(pw * pw, dtype=jnp.float32)
+    px_local = (p % pw) * stride + offx
+    py_local = (p // pw) * stride + offy
     t_ids = jnp.arange(num_tiles, dtype=jnp.float32)
     tx = (t_ids % grid_x) * tile
     ty = (t_ids // grid_x) * tile
@@ -109,16 +119,16 @@ def render_tiles_jnp(
         (
             pad0(g).reshape(blocks, tiles_per_block, max_per_tile),
             pad0(valid).reshape(blocks, tiles_per_block, max_per_tile),
-            pad0(px).reshape(blocks, tiles_per_block, tile * tile),
-            pad0(py).reshape(blocks, tiles_per_block, tile * tile),
+            pad0(px).reshape(blocks, tiles_per_block, pw * pw),
+            pad0(py).reshape(blocks, tiles_per_block, pw * pw),
         ),
     )
-    color = out.color.reshape(-1, tile * tile, 3)[:num_tiles]
-    final_t = out.final_t.reshape(-1, tile * tile)[:num_tiles]
+    color = out.color.reshape(-1, pw * pw, 3)[:num_tiles]
+    final_t = out.final_t.reshape(-1, pw * pw)[:num_tiles]
 
     # (T, P, 3) -> (3, H, W)
-    color = color.reshape(grid_y, grid_x, tile, tile, 3)
-    color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * tile, grid_x * tile)
-    final_t = final_t.reshape(grid_y, grid_x, tile, tile)
-    final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * tile, grid_x * tile)
+    color = color.reshape(grid_y, grid_x, pw, pw, 3)
+    color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * pw, grid_x * pw)
+    final_t = final_t.reshape(grid_y, grid_x, pw, pw)
+    final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * pw, grid_x * pw)
     return color, final_t

