@@ -102,12 +102,14 @@ def _alpha_terms(f, px, py, lane_ids, n):
     return alpha, alpha_raw, g, power, dx, dy, keep
 
 
-def _pixel_coords(tile_xy_ref, t, pixels, tile, stride=1, offx=0, offy=0):
+def _pixel_coords(t, grid_x, pixels, tile, stride=1, offx=0, offy=0):
     """Pixel centers of this tile's (sub)grid. stride/offx/offy implement the
     AMR round pixel pattern (amr/forward.cu:294-305: pix = pix_0*R + offset);
-    stride=1 is the full-resolution tile."""
-    ox = tile_xy_ref[t, 0]
-    oy = tile_xy_ref[t, 1]
+    stride=1 is the full-resolution tile. Tile origin is derived from the
+    program id (keeps the SMEM scalar-prefetch footprint small: at 1080p
+    there are 2040 tiles and SMEM holds only ~16KB of prefetch)."""
+    ox = (t % grid_x) * tile
+    oy = (t // grid_x) * tile
     pw = tile // stride
     pix = jax.lax.broadcasted_iota(jnp.int32, (pixels, 1), 0)
     px = (ox + (pix % pw) * stride + offx).astype(jnp.float32)
@@ -118,19 +120,18 @@ def _pixel_coords(tile_xy_ref, t, pixels, tile, stride=1, offx=0, offy=0):
 def _fwd_kernel(
     aoff_ref,  # scalar prefetch: (num_tiles+1,) int32, chunk-aligned offsets
     counts_ref,  # scalar prefetch: (num_tiles,) int32, true instance counts
-    tile_xy_ref,  # scalar prefetch: (num_tiles, 2) int32 pixel origin of tile
     feat_hbm,  # (FEAT, S) f32, ANY/HBM, chunk-aligned SoA layout
     out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
     fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
-    *, chunk: int, pixels: int, tile: int, stride: int = 1,
+    *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
     offx: int = 0, offy: int = 0,
 ):
     t = pl.program_id(0)
     start = aoff_ref[t]
     n = counts_ref[t]
     n_chunks = pl.cdiv(n, chunk)
-    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile, stride, offx, offy)
+    px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -193,7 +194,6 @@ def _fwd_kernel(
 def _bwd_kernel(
     aoff_ref,
     counts_ref,
-    tile_xy_ref,
     feat_hbm,  # (FEAT, S), chunk-aligned SoA layout
     gimg_ref,  # (1, P, OUTC): cols 0-2 dL/dcolor, 3 dL/dfinalT
     fwdout_ref,  # (1, P, OUTC): forward output (col 3 final_T, col 4 chunks)
@@ -202,13 +202,13 @@ def _bwd_kernel(
     dbuf,  # scratch (FEAT, CHUNK) staging for grads
     sem,  # DMA sems (2,)
     outsem,  # DMA sem for grad write-back
-    *, chunk: int, pixels: int, tile: int,
+    *, chunk: int, pixels: int, tile: int, grid_x: int,
 ):
     t = pl.program_id(0)
     start = aoff_ref[t]
     n = counts_ref[t]
     n_chunks_total = pl.cdiv(n, chunk)
-    px, py = _pixel_coords(tile_xy_ref, t, pixels, tile)
+    px, py = _pixel_coords(t, grid_x, pixels, tile)
 
     gr = gimg_ref[0, :, 0:1]  # (P, 1)
     gg = gimg_ref[0, :, 1:2]
@@ -352,9 +352,8 @@ def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
               stride=1, offx=0, offy=0):
     num_tiles = grid_x * grid_y
     pixels = (tile // stride) * (tile // stride)
-    tile_xy = _tile_origins(grid_x, grid_y, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
@@ -367,20 +366,19 @@ def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
-                          stride=stride, offx=offx, offy=offy),
+                          grid_x=grid_x, stride=stride, offx=offx, offy=offy),
         out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(aoff, counts, tile_xy, feat_soa)
+    )(aoff, counts, feat_soa)
 
 
 def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile, chunk, interpret):
     num_tiles = grid_x * grid_y
     pixels = tile * tile
     s = feat_soa.shape[1]
-    tile_xy = _tile_origins(grid_x, grid_y, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -396,12 +394,13 @@ def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, pixels=pixels, tile=tile),
+        functools.partial(_bwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
+                          grid_x=grid_x),
         out_shape=jax.ShapeDtypeStruct((FEAT, s), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(aoff, counts, tile_xy, feat_soa, gimg_tiles, fwd_out)
+    )(aoff, counts, feat_soa, gimg_tiles, fwd_out)
 
 
 # ---------------------------------------------------------------------------
