@@ -6,6 +6,11 @@ TPU, XLA fallback elsewhere) on a synthetic 100k-gaussian scene at
 1920x1088, the analog of the reference fps_test.py protocol (1920x1080,
 rasterizer-only timing, gaussian_renderer/__init__.py:87-106).
 
+Timing method: K iterations chained inside ONE compiled program via
+lax.fori_loop with a dynamic trip count (a loop-variant perturbation defeats
+loop-invariant hoisting), so the remote-dispatch round trip amortizes out:
+t_iter = (T(1+K) - T(1)) / K.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pixels/s", "vs_baseline": N}
 vs_baseline normalizes against the reference's real-time claim of 30 fps at
@@ -20,8 +25,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main():
     import jax
@@ -31,36 +34,36 @@ def main():
     from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
     from tests.helpers import make_camera, make_random_gaussians
 
-    W, H = 1920, 1088
-    N = 100_000
+    W, H, N = 1920, 1088, 100_000
     cam = make_camera(W, H, cam_z=-5.0)
     means, scales, quats, op, sh = make_random_gaussians(
         N, seed=0, sh_degree=3, spread=2.5
     )
     bg = jnp.zeros(3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    kw = dict(
-        sh_degree=3, max_instances=1 << 20,
-        max_per_tile=4096, impl=impl,
-    )
+    kw = dict(sh_degree=3, max_instances=1 << 20, max_per_tile=2048, impl=impl)
 
-    def loss(means, scales, quats, op, sh):
-        out = rast.rasterize(means, scales, quats, op, sh, cam, bg, **kw)
+    def loss(m):
+        out = rast.rasterize(m, scales, quats, op, sh, cam, bg, **kw)
         return jnp.mean(out.color ** 2)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-    args = (means, scales, quats, op, sh)
+    grad1 = jax.grad(loss)
 
-    # compile + warmup
-    g = step(*args)
-    jax.block_until_ready(g)
+    @jax.jit
+    def chained(k, m):
+        def body(i, carry):
+            m, acc = carry
+            g = grad1(m * (1.0 + 1e-12 * i))
+            return m, acc + jnp.mean(g)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(*args)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
+        _, acc = jax.lax.fori_loop(0, k, body, (m, 0.0))
+        return acc
+
+    iters = 4
+    _ = float(chained(1, means))  # compile + warm
+    t1 = time.perf_counter(); _ = float(chained(1, means)); t1 = time.perf_counter() - t1
+    t2 = time.perf_counter(); _ = float(chained(1 + iters, means)); t2 = time.perf_counter() - t2
+    dt = max((t2 - t1) / iters, 1e-9)
 
     pixels_per_s = W * H / dt
     baseline = 30.0 * 1920 * 1080  # reference: 30 fps @ 1080p, forward-only

@@ -17,7 +17,14 @@ import numpy as np
 
 
 def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
-    """Mean of squared distances to the 3 nearest neighbors, per point."""
+    """Mean of squared distances to the 3 nearest neighbors, per point.
+    Prefers the native C++ implementation (native/simple_knn.cpp), falling
+    back to scipy cKDTree, then the blocked JAX kernel."""
+    from gaussian_splatting_with_eye_tracking_tpu import native
+
+    out = native.mean_sq_dist_3nn_native(points)
+    if out is not None:
+        return out
     try:
         from scipy.spatial import cKDTree
     except ImportError:

@@ -173,3 +173,27 @@ class TestSSIM:
         x = jnp.full((3, 16, 16), 0.5)
         g = jax.grad(lambda im: ssim_ops.dssim_l1_loss(im, gt))(x)
         assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+class TestKNN:
+    def test_native_matches_bruteforce(self):
+        from gaussian_splatting_with_eye_tracking_tpu import native
+
+        rng = np.random.default_rng(10)
+        pts = rng.normal(size=(800, 3)).astype(np.float32)
+        out = native.mean_sq_dist_3nn_native(pts)
+        if out is None:
+            pytest.skip("native knn unavailable (no g++)")
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        want = np.sort(d2, axis=1)[:, :3].mean(1)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-7)
+
+    def test_dispatch_consistency(self):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import knn as knn_ops
+
+        rng = np.random.default_rng(11)
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        a = knn_ops.mean_sq_dist_3nn(pts)
+        b = np.asarray(knn_ops.mean_sq_dist_3nn_jax(jnp.asarray(pts), block=128))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
