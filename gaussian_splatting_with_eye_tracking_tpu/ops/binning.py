@@ -45,31 +45,63 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: i
     overflow = total > max_instances
 
     k = jnp.arange(max_instances, dtype=jnp.int32)
-    # method='sort' lowers to a co-sort instead of per-query binary search —
-    # much friendlier to the TPU than K*log(N) gathers.
-    g = jnp.searchsorted(cum, k, side="right", method="sort").astype(jnp.int32)  # (K,)
-    valid = k < total
-    g = jnp.where(valid, g, 0)
-
     excl = cum - tiles  # exclusive cumsum
-    r = k - excl[g]  # rank within the gaussian's rect, row-major
-    rect_w = jnp.maximum(prep.rect_max[g, 0] - prep.rect_min[g, 0], 1)
-    tx = prep.rect_min[g, 0] + r % rect_w
-    ty = prep.rect_min[g, 1] + r // rect_w
+    # slot k belongs to gaussian g iff excl[g] <= k < cum[g]. Instead of a
+    # searchsorted (which XLA lowers to an expensive co-sort at this size),
+    # scatter a +1 at every gaussian's start slot and prefix-sum: zero-count
+    # gaussians collapse onto the next start and the cumsum skips them.
+    mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(1, mode="drop")
+    g = jnp.cumsum(mark) - 1
+    valid = k < total
+    g = jnp.clip(jnp.where(valid, g, 0), 0, tiles.shape[0] - 1)
+
+    # Per-gaussian attributes consumed per slot, packed so the slot axis does
+    # ONE row gather (TPU: row gathers are ~6x faster than repeated 1D ones).
+    n = tiles.shape[0]
+    rank_bits = max(1, (n - 1).bit_length())
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    use_packed = rank_bits + tile_bits <= 31
+    if use_packed:
+        # depth RANK replaces the depth sort key: exact, since ranks preserve
+        # depth order and (tile, gaussian) pairs are unique.
+        order = jnp.argsort(prep.depths)  # (N,) cheap: N << K
+        rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    else:
+        rank = jnp.zeros(n, jnp.int32)
+    attrs = jnp.stack(
+        [
+            excl,
+            prep.rect_min[:, 0],
+            prep.rect_min[:, 1],
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+            rank,
+        ],
+        axis=1,
+    )  # (N, 5)
+    a = attrs[g]  # (K, 5) single row gather
+    r = k - a[:, 0]  # rank within the gaussian's rect, row-major
+    tx = a[:, 1] + r % a[:, 3]
+    ty = a[:, 2] + r // a[:, 3]
     tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles)
 
-    # Lexicographic (tile, depth) sort == the reference's 64-bit
-    # tile<<32|depth radix sort (rasterizer_impl.cu:70-111, 300-308).
-    depth = jnp.where(valid, prep.depths[g], jnp.inf)
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_id, depth, g), num_keys=2, is_stable=True
-    )
+    # Lexicographic (tile, depth) ordering == the reference's 64-bit
+    # tile<<32|depth radix sort (rasterizer_impl.cu:70-111, 300-308), as a
+    # single-int32-key sort when tile+rank bits fit (fast path).
+    if use_packed:
+        key = (tile_id << rank_bits) | jnp.where(valid, a[:, 4], 0)
+        key_sorted, gauss_sorted = jax.lax.sort((key, g), num_keys=1)
+        tile_sorted = key_sorted >> rank_bits
+    else:
+        depth = jnp.where(valid, prep.depths[g], jnp.inf)
+        tile_sorted, _, gauss_sorted = jax.lax.sort(
+            (tile_id, depth, g), num_keys=2, is_stable=True
+        )
 
     # Per-tile [start, end) ranges (identifyTileRanges,
-    # rasterizer_impl.cu:116-138) as CSR offsets via binary search.
+    # rasterizer_impl.cu:116-138) as CSR offsets: O(T log K) binary search
+    # (the instance list is sorted by tile).
     offsets = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
-        method="sort",
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
     return Binning(

@@ -307,40 +307,57 @@ def _bwd_kernel(
 
 
 def align_csr(offsets, chunk: int, total_slots: int, counts=None):
-    """Re-map CSR instance slices to chunk-aligned start positions.
+    """Chunk-aligned per-tile layout bookkeeping.
 
-    Returns (src (S,) int32 index into the original instance axis,
-    valid (S,) bool, aligned_offsets (T+1,) int32, counts (T,) int32).
-    ``total_slots`` must statically bound sum(ceil(count/chunk))*chunk.
-    ``counts`` optionally overrides per-tile lengths (AMR level gating).
-    """
+    Returns (dst_shift (K?,) unused externally, aligned_offsets (T+1,),
+    counts (T,)). See aligned_instance_map for the slot mapping."""
     if counts is None:
         counts = offsets[1:] - offsets[:-1]
     aligned = ((counts + chunk - 1) // chunk) * chunk
     aoff = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
     )
-    j = jnp.arange(total_slots, dtype=jnp.int32)
-    t = jnp.searchsorted(aoff, j, side="right", method="sort").astype(jnp.int32) - 1
-    t = jnp.clip(t, 0, counts.shape[0] - 1)
-    local = j - aoff[t]
-    valid = (local < counts[t]) & (j < aoff[-1])
-    src = jnp.clip(offsets[t] + local, 0, None)
-    return src, valid, aoff, counts
+    return aoff, counts
 
 
-def pack_features_soa(xy, conic, rgb, op, gid_al, valid):
-    """Gather per-gaussian data into the aligned SoA (FEAT, S) array."""
-    s = gid_al.shape[0]
-    rows = [
-        xy[gid_al, 0], xy[gid_al, 1],
-        conic[gid_al, 0], conic[gid_al, 1], conic[gid_al, 2],
-        rgb[gid_al, 0], rgb[gid_al, 1], rgb[gid_al, 2],
-        op[gid_al],
-    ]
-    feat = jnp.stack(rows, axis=0)  # (9, S)
-    feat = jnp.where(valid[None, :], feat, 0.0)
-    return jnp.concatenate([feat, jnp.zeros((FEAT - 9, s), jnp.float32)], axis=0)
+def _tile_step_fn(values, offsets, k_ax):
+    """Per-slot step function: out[k] = values[t] for k in tile t's CSR range,
+    via boundary scatter + prefix sum (no per-slot search)."""
+    delta = jnp.zeros(k_ax, values.dtype)
+    delta = delta.at[offsets[0:1]].add(values[0:1], mode="drop")
+    delta = delta.at[offsets[1:-1]].add(values[1:] - values[:-1], mode="drop")
+    return jnp.cumsum(delta)
+
+
+def aligned_instance_map(gauss_id, offsets, aoff, counts, n_gauss, total_slots, chunk):
+    """Map the sorted CSR instance list into the chunk-aligned slot axis.
+
+    dst[k] = k + (aoff[t] - offsets[t]) for k in tile t, keeping only the
+    tile's first ``counts[t]`` instances (counts may be gated below the CSR
+    length by AMR level masking). Returns gid_al (S,) int32 with sentinel
+    ``n_gauss`` on padding slots.
+    """
+    k_ax = gauss_id.shape[0]
+    kk = jnp.arange(k_ax, dtype=jnp.int32)
+    shift = _tile_step_fn(aoff[:-1] - offsets[:-1], offsets, k_ax)
+    allowed_end = _tile_step_fn(offsets[:-1] + counts, offsets, k_ax)
+    keep = (kk < offsets[-1]) & (kk < allowed_end)
+    dst = jnp.where(keep, kk + shift, total_slots)
+    gid_al = jnp.full(total_slots, n_gauss, jnp.int32)
+    gid_al = gid_al.at[dst].set(gauss_id, mode="drop")
+    return gid_al
+
+
+def pack_features_aos(xy, conic, rgb, op):
+    """(N+1, FEAT) float32 feature rows; the sentinel last row is zero so
+    padding slots gather zeros (invalid anyway by the kernel count mask)."""
+    n = xy.shape[0]
+    f = jnp.zeros((n + 1, FEAT), jnp.float32)
+    f = f.at[:n, 0:2].set(xy)
+    f = f.at[:n, 2:5].set(conic)
+    f = f.at[:n, 5:8].set(rgb)
+    f = f.at[:n, 8].set(op)
+    return f
 
 
 def _tile_origins(grid_x: int, grid_y: int, tile: int):
@@ -424,29 +441,33 @@ def blend_pallas(
 def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
                       counts_override=None):
     k = gauss_id.shape[0]
+    n = xy.shape[0]
     num_tiles = grid_x * grid_y
     total_slots = k + num_tiles * chunk  # static bound on the aligned length
-    src, valid, aoff, counts = align_csr(offsets, chunk, total_slots, counts_override)
-    gid_al = jnp.where(valid, gauss_id[src], 0)
-    feat_soa = pack_features_soa(xy, conic, rgb, op, gid_al, valid)
-    return feat_soa, gid_al, valid, aoff, counts
+    aoff, counts = align_csr(offsets, chunk, total_slots, counts_override)
+    gid_al = aligned_instance_map(
+        gauss_id, offsets, aoff, counts, n, total_slots, chunk
+    )
+    feat_al = pack_features_aos(xy, conic, rgb, op)[gid_al]  # (S, FEAT) row gather
+    feat_soa = feat_al.T  # (FEAT, S)
+    return feat_soa, gid_al, aoff, counts
 
 
 def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret):
-    feat_soa, gid_al, valid, aoff, counts = _aligned_features(
+    feat_soa, gid_al, aoff, counts = _aligned_features(
         xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk
     )
     out = _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret)
-    return out, (feat_soa, gid_al, valid, aoff, counts, out, xy.shape[0])
+    return out, (feat_soa, gid_al, aoff, counts, out, xy.shape[0])
 
 
 def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
-    feat_soa, gid_al, valid, aoff, counts, fwd_out, n = res
+    feat_soa, gid_al, aoff, counts, fwd_out, n = res
     dfeat_soa = _bwd_call(
         feat_soa, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
     )
-    dfeat = jnp.where(valid[None, :], dfeat_soa, 0.0)  # (FEAT, S)
-    dfeat = jax.ops.segment_sum(dfeat.T, gid_al, num_segments=n)  # (N, FEAT)
+    # sentinel id n collects all padding-slot garbage; dropped below
+    dfeat = jax.ops.segment_sum(dfeat_soa.T, gid_al, num_segments=n + 1)[:n]
     return (
         dfeat[:, 0:2],  # d xy
         dfeat[:, 2:5],  # d conic
@@ -494,7 +515,7 @@ def blend_round_pallas(
     SURVEY.md section 2.2)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    feat_soa, gid_al, valid, aoff, counts = _aligned_features(
+    feat_soa, gid_al, aoff, counts = _aligned_features(
         xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
         counts_override=counts_override,
     )

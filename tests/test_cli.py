@@ -72,4 +72,5 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(model_path, "results.json"))
         with open(os.path.join(model_path, "per_view.json")) as f:
             pv = json.load(f)
-        assert "00000.png" in pv[model_path.replace(os.sep, "/") if False else model_path]["ours_30"]["PSNR"] or True
+        key = next(iter(pv))
+        assert "00000.png" in pv[key]["ours_30"]["PSNR"]

@@ -29,18 +29,40 @@ class TestAlignCSR:
         offsets = jnp.array([0, 5, 5, 133, 140], jnp.int32)
         chunk = 64
         total = 5 * 64 + 140
-        src, valid, aoff, counts = pallas_blend.align_csr(offsets, chunk, total)
+        aoff, counts = pallas_blend.align_csr(offsets, chunk, total)
         aoff_n = np.asarray(aoff)
         assert (aoff_n % chunk == 0).all()
         np.testing.assert_array_equal(np.asarray(counts), [5, 0, 128, 7])
-        # each tile's valid slots map to its original contiguous range
+
+        # instance slot mapping: each tile's aligned slots hold its original
+        # contiguous instance ids; padding slots hold the sentinel
+        k = 160
+        gauss_id = jnp.arange(k, dtype=jnp.int32) + 1000
+        gid_al = pallas_blend.aligned_instance_map(
+            gauss_id, offsets, aoff, counts, 5000, total, chunk
+        )
+        gid_n = np.asarray(gid_al)
         for t in range(4):
-            sl = np.arange(aoff_n[t], aoff_n[t] + int(counts[t]))
+            sl = slice(aoff_n[t], aoff_n[t] + int(counts[t]))
             np.testing.assert_array_equal(
-                np.asarray(src)[sl], np.arange(int(offsets[t]), int(offsets[t + 1]))
+                gid_n[sl], 1000 + np.arange(int(offsets[t]), int(offsets[t + 1]))
             )
-            assert np.asarray(valid)[sl].all()
-            assert not np.asarray(valid)[aoff_n[t] + int(counts[t]): aoff_n[t + 1]].any()
+            assert (gid_n[aoff_n[t] + int(counts[t]): aoff_n[t + 1]] == 5000).all()
+        assert (gid_n[aoff_n[-1]:] == 5000).all()
+
+    def test_gated_counts(self):
+        offsets = jnp.array([0, 70, 140], jnp.int32)
+        chunk = 64
+        total = 4 * 64
+        gated = jnp.array([70, 0], jnp.int32)
+        aoff, counts = pallas_blend.align_csr(offsets, chunk, total, gated)
+        np.testing.assert_array_equal(np.asarray(aoff), [0, 128, 128])
+        gid_al = pallas_blend.aligned_instance_map(
+            jnp.arange(140, dtype=jnp.int32), offsets, aoff, counts, 999, total, chunk
+        )
+        gid_n = np.asarray(gid_al)
+        np.testing.assert_array_equal(gid_n[:70], np.arange(70))
+        assert (gid_n[70:] == 999).all()  # gated-off tile fully dropped
 
 
 class TestPallasForward:
