@@ -34,14 +34,16 @@ def main():
     from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
     from tests.helpers import make_camera, make_random_gaussians
 
-    W, H, N = 1920, 1088, 100_000
+    W, H, N = 1920, 1088, 300_000
     cam = make_camera(W, H, cam_z=-5.0)
+    # scale range approximates a trained 1080p scene's instance density
+    # (~5 duplicated instances per gaussian)
     means, scales, quats, op, sh = make_random_gaussians(
-        N, seed=0, sh_degree=3, spread=2.5
+        N, seed=0, sh_degree=3, spread=2.5, scale_range=(-4.6, -3.0)
     )
     bg = jnp.zeros(3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    kw = dict(sh_degree=3, max_instances=1 << 20, max_per_tile=2048, impl=impl)
+    kw = dict(sh_degree=3, max_instances=1 << 21, max_per_tile=2048, impl=impl)
 
     def loss(m):
         out = rast.rasterize(m, scales, quats, op, sh, cam, bg, **kw)

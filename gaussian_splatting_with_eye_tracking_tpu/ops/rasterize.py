@@ -110,22 +110,45 @@ def rasterize(
     means2d_offset: Optional[jnp.ndarray] = None,
     impl: str = "jnp",
     scale_modifier: float = 1.0,
+    debug: bool = False,
 ) -> RenderOut:
     """Differentiable 3DGS rasterization (activated parameters in, image out).
 
     means3d (N,3); scales (N,3) post-exp; quats (N,4) unnormalized ok;
     opacities (N,) post-sigmoid; sh (N, 3, (sh_degree+1)^2).
+
+    ``debug=True`` dumps all inputs to ``snapshot_fw.npz`` on an exception
+    before re-raising (reference crash forensics,
+    diff_gaussian_rasterization/__init__.py:83-90).
     """
     n = means3d.shape[0]
     if means2d_offset is None:
         means2d_offset = jnp.zeros((n, 2), means3d.dtype)
     if active_mask is None:
         active_mask = jnp.ones((n,), bool)
-    return _rasterize_impl(
+    args = (
         means3d, scales, quats, opacities, sh, means2d_offset, bg, active_mask,
         cam.viewmatrix, cam.projmatrix, cam.campos,
         jnp.asarray(cam.tan_fovx, jnp.float32), jnp.asarray(cam.tan_fovy, jnp.float32),
+    )
+    kwargs = dict(
         sh_degree=sh_degree, width=cam.width, height=cam.height, tile=tile,
         max_instances=max_instances, max_per_tile=max_per_tile, impl=impl,
         scale_modifier=scale_modifier,
     )
+    if not debug:
+        return _rasterize_impl(*args, **kwargs)
+    try:
+        return _rasterize_impl(*args, **kwargs)
+    except Exception:
+        import numpy as np
+
+        names = [
+            "means3d", "scales", "quats", "opacities", "sh", "means2d_offset",
+            "bg", "active_mask", "viewmatrix", "projmatrix", "campos",
+            "tan_fovx", "tan_fovy",
+        ]
+        np.savez("snapshot_fw.npz", **{k: np.asarray(v) for k, v in zip(names, args)})
+        print("\nAn error occurred in rasterization: inputs dumped to "
+              "snapshot_fw.npz for forensics. Re-raising.")
+        raise

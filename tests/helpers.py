@@ -32,7 +32,8 @@ def make_camera(width=64, height=64, fovx=math.radians(60), fovy=None, cam_z=-5.
     )
 
 
-def make_random_gaussians(n=500, seed=0, sh_degree=0, spread=1.5, depth_range=(3.0, 7.0)):
+def make_random_gaussians(n=500, seed=0, sh_degree=0, spread=1.5, depth_range=(3.0, 7.0),
+                          scale_range=(-3.5, -2.0)):
     """Random gaussians in front of the make_camera() viewpoint (world z>0)."""
     rng = np.random.default_rng(seed)
     means = np.stack(
@@ -43,7 +44,7 @@ def make_random_gaussians(n=500, seed=0, sh_degree=0, spread=1.5, depth_range=(3
         ],
         axis=-1,
     ).astype(np.float32)
-    scales = np.exp(rng.uniform(-3.5, -2.0, (n, 3))).astype(np.float32)
+    scales = np.exp(rng.uniform(scale_range[0], scale_range[1], (n, 3))).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     opacities = rng.uniform(0.2, 0.95, n).astype(np.float32)

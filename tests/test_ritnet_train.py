@@ -73,3 +73,45 @@ class TestTrainLoop:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestDatasetPipeline:
+    def test_end_to_end_tiny_dataset(self, tmp_path):
+        """Build a 4-image OpenEDS-style dataset, run one CLI epoch."""
+        import sys
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for split in ("train", "validation"):
+            (tmp_path / split / "images").mkdir(parents=True)
+            (tmp_path / split / "labels").mkdir(parents=True)
+            for i in range(4 if split == "train" else 2):
+                img = rng.integers(0, 255, (48, 64), np.uint8)
+                label = np.zeros((48, 64), np.int64)
+                label[10:30, 20:40] = 2
+                label[15:25, 25:35] = 3
+                Image.fromarray(img).save(tmp_path / split / "images" / f"e{i}.png")
+                np.save(tmp_path / split / "labels" / f"e{i}.npy", label)
+
+        sys.path.insert(0, "/root/repo")
+        import train_ritnet
+
+        train_ritnet.main([
+            "--dataset", str(tmp_path), "--bs", "2", "--epochs", "1",
+            "--expname", "testrun",
+        ])
+        import os
+        assert os.path.exists("logs/testrun/best_model.npz")
+        params = train_ritnet.load_params_npz("logs/testrun/best_model.npz")
+        out = ritnet.densenet2d_apply(params, jnp.zeros((1, 1, 48, 64)))
+        assert out.shape == (1, 4, 48, 64)
+
+    def test_augmentations_preserve_shapes(self):
+        rng = np.random.default_rng(1)
+        from gaussian_splatting_with_eye_tracking_tpu.models import ritnet_data
+
+        img = rng.integers(0, 255, (48, 64), np.uint8)
+        label = rng.integers(0, 4, (48, 64)).astype(np.int32)
+        for seed in range(10):
+            a, b = ritnet_data.augment(img, label, np.random.default_rng(seed))
+            assert a.shape == img.shape and b.shape == label.shape
