@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_MIN = 1e-4
 LOG_T_MIN = math.log(1e-4)
 
 FEAT = 16  # SoA rows (9 used, padded to a sublane-friendly 16)
@@ -62,6 +63,34 @@ def _shift_lanes_right(x, k):
 
 def _shift_lanes_left(x, k):
     return jnp.concatenate([x[:, k:], jnp.zeros((x.shape[0], k), x.dtype)], axis=1)
+
+
+def _shift_lanes_right_ones(x, k):
+    """Shift columns right by k, filling with ones (multiplicative scans)."""
+    return jnp.concatenate([jnp.ones((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
+
+
+def _shift_lanes_left_ones(x, k):
+    return jnp.concatenate([x[:, k:], jnp.ones((x.shape[0], k), x.dtype)], axis=1)
+
+
+def _cumprod_lanes_incl(x, chunk):
+    """Inclusive cumprod along axis 1 via log-doubling (multiplicative)."""
+    s = x
+    k = 1
+    while k < chunk:
+        s = s * _shift_lanes_right_ones(s, k)
+        k *= 2
+    return s
+
+
+def _suffix_prod_lanes_incl(x, chunk):
+    s = x
+    k = 1
+    while k < chunk:
+        s = s * _shift_lanes_left_ones(s, k)
+        k *= 2
+    return s
 
 
 def _cumsum_lanes_incl(x, chunk):
@@ -148,7 +177,7 @@ def _fwd_kernel(
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(carry):
-        ci, logT, cr, cg, cb_, done = carry
+        ci, T, cr, cg, cb_, done = carry
 
         @pl.when(ci + 1 < n_chunks)
         def _():
@@ -159,23 +188,25 @@ def _fwd_kernel(
         ids = ci * chunk + lane_ids
         alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, ids, n)
 
-        log_om = jnp.log1p(-alpha)  # (P, C)
-        excl = _cumsum_lanes_incl(log_om, chunk) - log_om
-        w = alpha * jnp.exp(logT + excl)  # (P, C)
+        om = 1.0 - alpha  # (P, C)
+        cp = _cumprod_lanes_incl(om, chunk)  # inclusive products
+        excl = jnp.concatenate([jnp.ones((pixels, 1), jnp.float32), cp[:, :-1]], axis=1)
+        w = alpha * (T * excl)  # (P, C); multiplicative scan, no exp/log
         cr = cr + jnp.sum(w * f[5:6, :], axis=1, keepdims=True)
         cg = cg + jnp.sum(w * f[6:7, :], axis=1, keepdims=True)
         cb_ = cb_ + jnp.sum(w * f[7:8, :], axis=1, keepdims=True)
-        logT = logT + jnp.sum(log_om, axis=1, keepdims=True)
-        done = jnp.max(logT) < LOG_T_MIN
-        return ci + 1, logT, cr, cg, cb_, done
+        T = T * cp[:, chunk - 1:chunk]
+        done = jnp.max(T) < T_MIN
+        return ci + 1, T, cr, cg, cb_, done
 
     def cond(carry):
         ci, _, _, _, _, done = carry
         return (ci < n_chunks) & jnp.logical_not(done)
 
     zero = jnp.zeros((pixels, 1), jnp.float32)
-    ci, logT, cr, cg, cb_, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero, zero, zero, zero, jnp.bool_(False))
+    one = jnp.ones((pixels, 1), jnp.float32)
+    ci, T, cr, cg, cb_, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one, zero, zero, zero, jnp.bool_(False))
     )
 
     # early exit leaves the prefetched next chunk's DMA in flight: drain it
@@ -186,7 +217,7 @@ def _fwd_kernel(
     out_ref[0, :, 0:1] = cr
     out_ref[0, :, 1:2] = cg
     out_ref[0, :, 2:3] = cb_
-    out_ref[0, :, 3:4] = jnp.exp(logT)
+    out_ref[0, :, 3:4] = T
     out_ref[0, :, 4:5] = jnp.broadcast_to(ci.astype(jnp.float32), (pixels, 1))
     out_ref[0, :, 5:OUTC] = jnp.zeros((pixels, OUTC - 5), jnp.float32)
 
@@ -252,9 +283,11 @@ def _bwd_kernel(
         ids = ci * chunk + lane_ids
         alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(f, px, py, ids, n)
 
-        log_om = jnp.log1p(-alpha)
-        suf_incl = _suffix_sum_lanes_incl(log_om, chunk)
-        T_i = T_after * jnp.exp(-suf_incl)  # transmittance before instance i
+        om = 1.0 - alpha
+        suf = _suffix_prod_lanes_incl(om, chunk)  # prod_{j>=i} (1-a_j)
+        # division reconstruction (backward.cu:503); T <= 1 physically, so a
+        # clamp kills the 0/0 of fully-saturated pixels
+        T_i = jnp.clip(T_after / jnp.maximum(suf, 1e-30), 0.0, 1.0)
         w = alpha * T_i  # (P, C)
 
         G_rgb = gr * f[5:6, :] + gg * f[6:7, :] + gb * f[7:8, :]  # (P, C)
@@ -285,7 +318,9 @@ def _bwd_kernel(
         dbuf[9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
         write_out(ci)
 
-        T_before_chunk = T_after * jnp.exp(-jnp.sum(log_om, axis=1, keepdims=True))
+        T_before_chunk = jnp.clip(
+            T_after / jnp.maximum(suf[:, 0:1], 1e-30), 0.0, 1.0
+        )
         S_new = S + jnp.sum(u, axis=1, keepdims=True)
         return T_before_chunk, S_new
 
