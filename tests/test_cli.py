@@ -72,5 +72,4 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(model_path, "results.json"))
         with open(os.path.join(model_path, "per_view.json")) as f:
             pv = json.load(f)
-        key = next(iter(pv))
-        assert "00000.png" in pv[key]["ours_30"]["PSNR"]
+        assert "00000.png" in pv["ours_30"]["PSNR"]
