@@ -36,6 +36,7 @@ from gaussian_splatting_with_eye_tracking_tpu.ops import ssim as ssim_ops
 from gaussian_splatting_with_eye_tracking_tpu.ops import tile_blend
 from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
     CameraParams,
+    Preprocessed,
     preprocess,
 )
 from gaussian_splatting_with_eye_tracking_tpu import renderer
@@ -149,6 +150,192 @@ def sharded_render(
     final_t = final_t[: cam.height, : cam.width]
     color = color + final_t[None] * bg[:, None, None]
     return color, final_t, radii, overflow
+
+
+def _band_composite_from_prep(
+    prep: Preprocessed, means2d_offset,
+    *, tile, max_instances_per_band, max_per_tile, grid_x, grid_y_local, impl,
+    axis,
+):
+    """Bin + composite THIS device's tile band from full-length preprocessed
+    arrays (replicated or all_gather'd). The band-local clipping of each
+    gaussian's tile rect mirrors _band_render."""
+    d = jax.lax.axis_index(axis)
+    y0 = d * grid_y_local
+    means2d = prep.means2d + means2d_offset
+    means2d = means2d - jnp.stack(
+        [jnp.zeros((), jnp.float32), (y0 * tile).astype(jnp.float32)]
+    )[None, :]
+    rmin_y = jnp.clip(prep.rect_min[:, 1] - y0, 0, grid_y_local)
+    rmax_y = jnp.clip(prep.rect_max[:, 1] - y0, 0, grid_y_local)
+    tiles_touched = (prep.rect_max[:, 0] - prep.rect_min[:, 0]) * (rmax_y - rmin_y)
+    tiles_touched = jnp.maximum(tiles_touched, 0)
+    local = prep._replace(
+        rect_min=jnp.stack([prep.rect_min[:, 0], rmin_y], -1),
+        rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
+        tiles_touched=tiles_touched.astype(jnp.int32),
+    )
+    b = binning_ops.bin_gaussians(local, grid_x, grid_y_local, max_instances_per_band)
+
+    if impl == "pallas":
+        from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
+
+        color, final_t = pallas_blend.render_tiles_pallas(
+            means2d, local.conics, local.rgb, local.opacities,
+            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            jnp.zeros(3),
+        )
+    else:
+        color, final_t = tile_blend.render_tiles_jnp(
+            means2d, local.conics, local.rgb, local.opacities,
+            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            jnp.zeros(3), max_per_tile=max_per_tile,
+        )
+    return color, final_t, b.overflow[None]
+
+
+def shard_model_state(mesh: Mesh, state: gm.GaussianModelState) -> gm.GaussianModelState:
+    """Place a GaussianModelState with every capacity-axis leaf sharded over
+    the mesh (params, Adam moments, densification stats). Scalar leaves
+    (sh_degree, optax counts) are replicated. Capacity must divide the mesh
+    size (capacities are powers of two)."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    cap = state.params.xyz.shape[0]
+    if cap % n:
+        raise ValueError(f"capacity {cap} not divisible by mesh size {n}")
+
+    def placer(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(placer, state)
+
+
+def make_gauss_sharded_train_step(
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    opt,
+    max_sh_degree: int,
+    width: int,
+    height: int,
+    *,
+    tile: int = 32,
+    max_instances_per_band: int = 1 << 18,
+    max_per_tile: int = 1024,
+    impl: str = "auto",
+):
+    """PRIMITIVE-SHARDED training step for scenes too large to replicate
+    (BASELINE config 5: 5M+ gaussians).
+
+    Layout: gaussian parameters + Adam moments + densification stats are
+    sharded over the mesh's single axis (each device owns capacity/D rows);
+    the image's tile-row bands ride the SAME axis (device d renders band d).
+    Per step, each device:
+
+      1. preprocesses its own gaussian shard (SH eval + EWA projection —
+         the O(N) FLOPs and the 59-floats/gaussian parameter reads are
+         sharded),
+      2. all_gathers the COMPACT preprocessed rows (15 floats/gaussian, a
+         ~4x traffic reduction vs gathering raw parameters) over ICI,
+      3. bins + composites its tile band, bands are all_gather'd for the
+         SSIM window exactly like the replicated path.
+
+    The backward transposes: band-gather -> band-scatter, prep-gather ->
+    psum_scatter of preprocessed-row gradients (each device reduces only its
+    own shard's rows), then local preprocess backward -> param grads stay
+    sharded. Adam updates run on local rows only; no parameter all-reduce
+    ever materializes. Pass state through shard_model_state(mesh, ...) first.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    axis = mesh.axis_names[0]
+    n_bands = mesh.devices.size
+    grid_x = -(-width // tile)
+    grid_y = -(-height // tile)
+    grid_y_pad = -(-grid_y // n_bands) * n_bands
+    grid_y_local = grid_y_pad // n_bands
+
+    def device_loss(params, offset, active, sh_degree, cam_arrays, gt, bg):
+        """Inside shard_map: params/offset/active are the LOCAL shard."""
+        cam = CameraParams(
+            viewmatrix=cam_arrays[0], projmatrix=cam_arrays[1],
+            campos=cam_arrays[2], tan_fovx=cam_arrays[3], tan_fovy=cam_arrays[4],
+            width=width, height=height,
+        )
+        sh = gm.get_sh(params) * renderer.sh_band_mask(sh_degree, max_sh_degree)[None, None, :]
+        prep_local = preprocess(
+            params.xyz, gm.get_scaling(params), params.rotation,
+            gm.get_opacity(params), sh, max_sh_degree, cam,
+            tile=tile, active_mask=active,
+        )
+        prep_local = prep_local._replace(
+            means2d=prep_local.means2d + offset
+        )
+        # gather the compact preprocessed rows from every shard (ICI
+        # all_gather; its transpose psum_scatters the row gradients back)
+        prep = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), prep_local
+        )
+        color_band, final_t_band, overflow = _band_composite_from_prep(
+            prep, jnp.zeros_like(prep.means2d),
+            tile=tile, max_instances_per_band=max_instances_per_band,
+            max_per_tile=max_per_tile, grid_x=grid_x, grid_y_local=grid_y_local,
+            impl=impl, axis=axis,
+        )
+        color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
+        color_full = color_full[:, :height, :width]
+        final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
+        color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
+        l1 = jnp.mean(jnp.abs(color_full - gt))
+        ssim_v = ssim_ops.ssim(color_full, gt)
+        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+        return loss, (l1, color_full, prep_local.radii, overflow)
+
+    sharded_loss = jax.shard_map(
+        device_loss, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), (P(),) * 5, P(), P()),
+        out_specs=(P(), (P(), P(), P(axis), P(axis))),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state, viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
+                   gt, bg, accumulate_stats):
+        cam_arrays = (viewmatrix, projmatrix, campos,
+                      jnp.asarray(tan_fovx, jnp.float32),
+                      jnp.asarray(tan_fovy, jnp.float32))
+        cap = state.params.xyz.shape[0]
+        offset0 = jnp.zeros((cap, 2))
+
+        def loss_fn(params, offset):
+            return sharded_loss(
+                params, offset, state.active, state.sh_degree, cam_arrays, gt, bg
+            )
+
+        (loss, (l1, image, radii, overflow)), (g_params, g_offset) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, offset0
+            )
+        )
+        updates, opt_state = tx.update(g_params, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state._replace(params=params, opt_state=opt_state)
+        state = jax.lax.cond(
+            accumulate_stats,
+            lambda s: gm.add_densification_stats(s, g_offset, radii),
+            lambda s: s,
+            state,
+        )
+        mse = jnp.mean((image - gt) ** 2)
+        return state, {
+            "loss": loss, "l1": l1,
+            "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
+            "overflow": jnp.any(overflow),
+        }
+
+    return train_step
 
 
 def make_sharded_train_step(

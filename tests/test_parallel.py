@@ -10,8 +10,10 @@ from gaussian_splatting_with_eye_tracking_tpu import train_lib
 from gaussian_splatting_with_eye_tracking_tpu.config import OptimizationConfig
 from gaussian_splatting_with_eye_tracking_tpu.models import gaussian_model as gm
 from gaussian_splatting_with_eye_tracking_tpu.parallel import (
+    make_gauss_sharded_train_step,
     make_mesh,
     make_sharded_train_step,
+    shard_model_state,
     sharded_render,
 )
 from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
@@ -120,6 +122,73 @@ class TestShardedTrainStep:
             state, aux = step(state, *cam_args, gt, bg, True)
             losses.append(float(aux["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestGaussShardedTrainStep:
+    """Primitive-sharded params (capacity rows over devices) + tile bands on
+    the same axis: must match the single-device step bit-for-tolerance."""
+
+    def test_matches_single_device_step(self):
+        state, tx, opt = small_state(seed=4)
+        n_dev = 4
+        mesh = make_mesh(n_dev, axis="gauss")
+        h = 32 * n_dev
+        cam = make_camera(64, h)
+        bg = jnp.array([0.1, 0.0, 0.2])
+        gt = jnp.full((3, h, 64), 0.4)
+
+        sstate = shard_model_state(mesh, state)
+        sharded = make_gauss_sharded_train_step(
+            mesh, tx, opt, max_sh_degree=0, width=64, height=h,
+            max_instances_per_band=1 << 11, max_per_tile=64, impl="jnp",
+        )
+        single = train_lib.make_train_step(
+            tx, opt, max_sh_degree=0, width=64, height=h, impl="jnp",
+            max_instances=1 << 12, max_per_tile=64,
+        )
+        cam_args = train_lib.camera_arrays(cam)
+        s1, aux1 = sharded(sstate, *cam_args, gt, bg, True)
+        s2, aux2 = single(state, *cam_args, gt, bg, True)
+        assert float(aux1["loss"]) == pytest.approx(float(aux2.loss), rel=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.params.xyz), np.asarray(s2.params.xyz), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.xyz_grad_accum), np.asarray(s2.xyz_grad_accum),
+            atol=1e-5, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.max_radii2d), np.asarray(s2.max_radii2d), atol=0
+        )
+
+    def test_params_stay_sharded_across_steps(self):
+        state, tx, opt = small_state(seed=5)
+        mesh = make_mesh(2, axis="gauss")
+        cam = make_camera(64, 64)
+        bg = jnp.zeros(3)
+        gt = jnp.full((3, 64, 64), 0.3)
+        sstate = shard_model_state(mesh, state)
+        step = make_gauss_sharded_train_step(
+            mesh, tx, opt, max_sh_degree=0, width=64, height=64,
+            max_instances_per_band=1 << 11, max_per_tile=64, impl="jnp",
+        )
+        cam_args = train_lib.camera_arrays(cam)
+        losses = []
+        for _ in range(10):
+            sstate, aux = step(sstate, *cam_args, gt, bg, True)
+            losses.append(float(aux["loss"]))
+        assert losses[-1] < losses[0]
+        shard_shapes = {
+            s.data.shape for s in sstate.params.xyz.addressable_shards
+        }
+        cap = state.params.xyz.shape[0]
+        assert shard_shapes == {(cap // 2, 3)}
+
+    def test_shard_model_state_rejects_indivisible(self):
+        state, tx, opt = small_state(n=5, cap=8)  # pow2-padded capacity
+        mesh = make_mesh(3, axis="gauss")
+        with pytest.raises(ValueError):
+            shard_model_state(mesh, state)
 
 
 class TestGraftEntry:
