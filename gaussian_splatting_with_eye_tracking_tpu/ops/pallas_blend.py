@@ -10,31 +10,37 @@ TPU-native re-design of the CUDA render kernels
   hardware): PIXELS on sublanes (P=1024 rows), INSTANCES on lanes (CHUNK=128
   columns). The tile's instance list is processed in chunks; each chunk
   computes a (P, C) alpha matrix on the VPU, turns the sequential
-  front-to-back transmittance recurrence into a log-space exclusive cumsum
-  along lanes (log-doubling scan), and accumulates color with native lane
+  front-to-back transmittance recurrence into a multiplicative exclusive
+  scan along lanes (log-doubling), and accumulates color with lane
   reductions. Instance chunks stream from HBM with double-buffered async DMA
-  in a struct-of-arrays (FEAT, S) layout so every DMA slice is 128-lane
-  aligned. Chunk-level early exit replaces the CUDA per-pixel T<1e-4 break:
-  once every pixel of the tile is saturated the remaining chunks are skipped
-  (color error bound: 1e-4 per channel).
+  in a struct-of-arrays (FEAT, K) layout. Chunk-level early exit replaces the
+  CUDA per-pixel T<1e-4 break: once every pixel of the tile is saturated the
+  remaining chunks are skipped (color error bound: 1e-4 per channel).
+
+- Instance layout: the kernels read the depth-sorted CSR instance list
+  DIRECTLY (no chunk-aligned relayout). Each tile's range [o, o+n) is read
+  as an ALIGNED SUPERSET of chunks starting at floor(o/CHUNK)*CHUNK; lanes
+  outside [o, o+n) are masked. Overlapping boundary chunks are safe for
+  reads; gradient WRITES go to a private chunk-aligned per-tile region
+  (see grad_region_offsets) so no two programs ever DMA the same slots.
+
 - Backward (no atomics on TPU): chunks are replayed BACK-TO-FRONT per tile;
   transmittance is reconstructed by division from the saved final_T exactly
   like the CUDA backward (backward.cu:503), the suffix color accumulator
-  `accum_rec` (backward.cu:515-519) becomes a suffix cumsum along lanes, and
-  per-instance gradients (sublane reductions over pixels) are DMA'd to the
-  instance's unique slot in a (FEAT, S) gradient array. The atomicAdd over
-  duplicate instances (backward.cu:523-554) becomes jax.ops.segment_sum
-  outside the kernel.
+  `accum_rec` (backward.cu:515-519) becomes a suffix scan along lanes, and
+  per-instance gradients (reductions over pixels) are DMA'd to the tile's
+  region of a (FEAT, S) gradient array. The atomicAdd over duplicate
+  instances (backward.cu:523-554) becomes, OUTSIDE the kernel: reorder the
+  per-instance gradient rows into the pre-sort (gaussian-contiguous)
+  instance order with ONE key+payload sort, then reduce each gaussian's
+  contiguous segment by an exclusive-prefix-sum difference — no
+  scatter-add anywhere (XLA scatter-add with duplicate indices costs
+  ~70 ns/row on TPU; sort + cumsum is ~10x cheaper at 2M instances).
 
 Feature rows in the SoA array: [x, y, conic_a, conic_b, conic_c, r, g, b,
-opacity, <7 pad>] (FEAT=16 rows).
-
-Instances live in a CHUNK-ALIGNED per-tile CSR layout (each tile's slice
-starts at a multiple of CHUNK and is padded to one) so every DMA — including
-gradient write-back — stays inside its own tile's slice regardless of grid
-execution order, and lane alignment holds. On hardware, CHUNK must be a
-multiple of 128 (DMA lane alignment); smaller chunks are allowed only in
-interpret mode (CPU tests).
+opacity, <7 pad>] (FEAT=16 rows). On hardware, CHUNK must be a multiple of
+128 (DMA lane alignment); smaller chunks are allowed only in interpret mode
+(CPU tests).
 """
 
 from __future__ import annotations
@@ -54,6 +60,36 @@ LOG_T_MIN = math.log(1e-4)
 
 FEAT = 16  # SoA rows (9 used, padded to a sublane-friendly 16)
 OUTC = 8  # output columns per pixel: r, g, b, final_T, chunks_done, pad
+
+# Full-f32 matmul accuracy on the MXU (plain bf16 would lose ~0.4% on the
+# pixel-coordinate moment matrices, breaking gradient parity with the jnp
+# path); still far cheaper than the VPU reduction trees they replace.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_lanes(a, b):
+    """Contract the lane (last) axis of both operands: (P, C) x (Q, C) ->
+    (P, Q) without materializing a transpose."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_sub(a, b):
+    """Contract the sublane (first) axis of both operands: (P, Q) x (P, C)
+    -> (Q, C) without materializing a transpose."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _shift_lanes_right(x, k):
@@ -112,9 +148,11 @@ def _suffix_sum_lanes_incl(x, chunk):
     return s
 
 
-def _alpha_terms(f, px, py, lane_ids, n):
+def _alpha_terms(f, px, py, ids, lo, hi):
     """Shared recompute: SoA chunk (FEAT, C) -> alpha (P, C) and friends.
-    Same math as the CUDA forward inner loop (forward.cu:330-343)."""
+    Same math as the CUDA forward inner loop (forward.cu:330-343). ``ids``
+    are global instance slots; only [lo, hi) belongs to this tile (superset
+    chunks overlap neighboring tiles' slots)."""
     ca = f[2:3, :]
     cb = f[3:4, :]
     cc = f[4:5, :]
@@ -125,7 +163,7 @@ def _alpha_terms(f, px, py, lane_ids, n):
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    valid = lane_ids < n  # (1, C)
+    valid = (ids >= lo) & (ids < hi)  # (1, C)
     keep = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, alpha_raw, g, power, dx, dy, keep
@@ -147,9 +185,9 @@ def _pixel_coords(t, grid_x, pixels, tile, stride=1, offx=0, offy=0):
 
 
 def _fwd_kernel(
-    aoff_ref,  # scalar prefetch: (num_tiles+1,) int32, chunk-aligned offsets
-    counts_ref,  # scalar prefetch: (num_tiles,) int32, true instance counts
-    feat_hbm,  # (FEAT, S) f32, ANY/HBM, chunk-aligned SoA layout
+    off_ref,  # scalar prefetch: (num_tiles+1,) int32, raw CSR offsets
+    counts_ref,  # scalar prefetch: (num_tiles,) int32, instance counts (gated ok)
+    feat_hbm,  # (FEAT, K) f32, ANY/HBM, depth-sorted CSR SoA layout
     out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
     fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
@@ -157,9 +195,10 @@ def _fwd_kernel(
     offx: int = 0, offy: int = 0,
 ):
     t = pl.program_id(0)
-    start = aoff_ref[t]
+    o = off_ref[t]
     n = counts_ref[t]
-    n_chunks = pl.cdiv(n, chunk)
+    start = (o // chunk) * chunk  # aligned superset start
+    n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
     px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
 
     def dma(slot, ci):
@@ -177,7 +216,7 @@ def _fwd_kernel(
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(carry):
-        ci, T, cr, cg, cb_, done = carry
+        ci, logT, rgb_acc, done = carry
 
         @pl.when(ci + 1 < n_chunks)
         def _():
@@ -185,28 +224,34 @@ def _fwd_kernel(
 
         dma(ci % 2, ci).wait()
         f = fbuf[ci % 2]
-        ids = ci * chunk + lane_ids
-        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, ids, n)
+        ids = start + ci * chunk + lane_ids
+        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
 
+        # Transmittance ACROSS chunks is carried in log space (exact for
+        # alpha <= 0.99; a pure product underflows f32 in saturated tiles
+        # and would zero the backward's division reconstruction). WITHIN the
+        # chunk the exclusive scan stays multiplicative — cheaper, and an
+        # in-chunk underflow only flushes weights that are < 1e-38 anyway.
         om = 1.0 - alpha  # (P, C)
         cp = _cumprod_lanes_incl(om, chunk)  # inclusive products
         excl = jnp.concatenate([jnp.ones((pixels, 1), jnp.float32), cp[:, :-1]], axis=1)
-        w = alpha * (T * excl)  # (P, C); multiplicative scan, no exp/log
-        cr = cr + jnp.sum(w * f[5:6, :], axis=1, keepdims=True)
-        cg = cg + jnp.sum(w * f[6:7, :], axis=1, keepdims=True)
-        cb_ = cb_ + jnp.sum(w * f[7:8, :], axis=1, keepdims=True)
-        T = T * cp[:, chunk - 1:chunk]
-        done = jnp.max(T) < T_MIN
-        return ci + 1, T, cr, cg, cb_, done
+        T = jnp.exp(logT)  # (P, 1), transcendental on one column only
+        w = alpha * (T * excl)  # (P, C)
+        # color accumulation on the MXU: contract lanes of w with the
+        # chunk's rgb rows -> (P, 3)
+        rgb_acc = rgb_acc + _dot_lanes(w, f[5:8, :])
+        logT = logT + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
+        done = jnp.max(logT) < LOG_T_MIN
+        return ci + 1, logT, rgb_acc, done
 
     def cond(carry):
-        ci, _, _, _, _, done = carry
+        ci, _, _, done = carry
         return (ci < n_chunks) & jnp.logical_not(done)
 
     zero = jnp.zeros((pixels, 1), jnp.float32)
-    one = jnp.ones((pixels, 1), jnp.float32)
-    ci, T, cr, cg, cb_, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), one, zero, zero, zero, jnp.bool_(False))
+    ci, logT, rgb_acc, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, jnp.zeros((pixels, 3), jnp.float32),
+                     jnp.bool_(False))
     )
 
     # early exit leaves the prefetched next chunk's DMA in flight: drain it
@@ -214,30 +259,32 @@ def _fwd_kernel(
     def _():
         dma(ci % 2, ci).wait()
 
-    out_ref[0, :, 0:1] = cr
-    out_ref[0, :, 1:2] = cg
-    out_ref[0, :, 2:3] = cb_
-    out_ref[0, :, 3:4] = T
+    out_ref[0, :, 0:3] = rgb_acc
+    out_ref[0, :, 3:4] = jnp.exp(logT)
     out_ref[0, :, 4:5] = jnp.broadcast_to(ci.astype(jnp.float32), (pixels, 1))
-    out_ref[0, :, 5:OUTC] = jnp.zeros((pixels, OUTC - 5), jnp.float32)
+    out_ref[0, :, 5:6] = logT
+    out_ref[0, :, 6:OUTC] = jnp.zeros((pixels, OUTC - 6), jnp.float32)
 
 
 def _bwd_kernel(
-    aoff_ref,
-    counts_ref,
-    feat_hbm,  # (FEAT, S), chunk-aligned SoA layout
+    off_ref,  # scalar prefetch: (num_tiles+1,) int32, raw CSR offsets
+    counts_ref,  # scalar prefetch: (num_tiles,) int32
+    gaoff_ref,  # scalar prefetch: (num_tiles+1,) int32, grad-region offsets
+    feat_hbm,  # (FEAT, K), depth-sorted CSR SoA layout
     gimg_ref,  # (1, P, OUTC): cols 0-2 dL/dcolor, 3 dL/dfinalT
     fwdout_ref,  # (1, P, OUTC): forward output (col 3 final_T, col 4 chunks)
-    dfeat_hbm,  # out: (FEAT, S) per-instance grads, ANY/HBM
+    dfeat_hbm,  # out: (FEAT, S) per-instance grads in per-tile regions, HBM
     fbuf,  # scratch (2, FEAT, CHUNK)
-    dbuf,  # scratch (FEAT, CHUNK) staging for grads
+    dbuf,  # scratch (2, FEAT, CHUNK) staging for grads
     sem,  # DMA sems (2,)
-    outsem,  # DMA sem for grad write-back
+    outsem,  # DMA sems for grad write-back (2,)
     *, chunk: int, pixels: int, tile: int, grid_x: int,
 ):
     t = pl.program_id(0)
-    start = aoff_ref[t]
+    o = off_ref[t]
     n = counts_ref[t]
+    start = (o // chunk) * chunk
+    gbase = gaoff_ref[t]
     px, py = _pixel_coords(t, grid_x, pixels, tile)
 
     gr = gimg_ref[0, :, 0:1]  # (P, 1)
@@ -246,6 +293,7 @@ def _bwd_kernel(
     gT_ext = gimg_ref[0, :, 3:4]
     final_t = fwdout_ref[0, :, 3:4]
     n_chunks_done = fwdout_ref[0, 0, 4].astype(jnp.int32)
+    log_final_t = fwdout_ref[0, :, 5:6]
 
     def dma_in(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -256,7 +304,7 @@ def _bwd_kernel(
         )
 
     def grad_dma(slot, ci):
-        off = pl.multiple_of(start + ci * chunk, chunk)
+        off = pl.multiple_of(gbase + ci * chunk, chunk)
         return pltpu.make_async_copy(
             dbuf.at[slot], dfeat_hbm.at[:, pl.ds(off, chunk)], outsem.at[slot]
         )
@@ -266,9 +314,17 @@ def _bwd_kernel(
         dma_in((n_chunks_done - 1) % 2, n_chunks_done - 1).start()
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    # loop-invariant matrices for the MXU reductions: pixel-coordinate
+    # moments (6, P) and the color cotangent rows (4, P; row 3 = ones for
+    # the opacity-path reduction)
+    ones_p = jnp.ones((pixels, 1), jnp.float32)
+    moment_m = jnp.concatenate(
+        [ones_p, px, py, px * px, px * py, py * py], axis=1
+    )  # (P, 6)
+    cot_m = jnp.concatenate([gr, gg, gb], axis=1)  # (P, 3)
 
     def body(i, carry):
-        T_after, S = carry
+        logT_after, S = carry
         ci = n_chunks_done - 1 - i  # back-to-front (backward.cu:441-556)
         slot = i % 2
 
@@ -284,17 +340,21 @@ def _bwd_kernel(
 
         dma_in(ci % 2, ci).wait()
         f = fbuf[ci % 2]
-        ids = ci * chunk + lane_ids
-        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(f, px, py, ids, n)
+        ids = start + ci * chunk + lane_ids
+        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(
+            f, px, py, ids, o, o + n
+        )
 
-        om = 1.0 - alpha
-        suf = _suffix_prod_lanes_incl(om, chunk)  # prod_{j>=i} (1-a_j)
-        # division reconstruction (backward.cu:503); T <= 1 physically, so a
-        # clamp kills the 0/0 of fully-saturated pixels
-        T_i = jnp.clip(T_after / jnp.maximum(suf, 1e-30), 0.0, 1.0)
+        # log-space division reconstruction (the CUDA backward divides,
+        # backward.cu:503, which returns 0/0 once T underflows f32 in
+        # saturated tiles; subtracting log-transmittances is exact)
+        lom = jnp.log1p(-alpha)
+        lsuf = _suffix_sum_lanes_incl(lom, chunk)  # sum_{j>=i} log(1-a_j)
+        T_i = jnp.exp(jnp.minimum(logT_after - lsuf, 0.0))
         w = alpha * T_i  # (P, C)
 
-        G_rgb = gr * f[5:6, :] + gg * f[6:7, :] + gb * f[7:8, :]  # (P, C)
+        # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: rank-3 product on the MXU
+        G_rgb = _dot(cot_m, f[5:8, :])  # (P, C)
         u = G_rgb * w
         S_i = S + _suffix_sum_lanes_incl(u, chunk) - u  # suffix-exclusive
 
@@ -304,35 +364,48 @@ def _bwd_kernel(
         # clamp gate at 0.99 (matches jnp.minimum vjp of the jnp path)
         d_araw = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
 
-        d_op_px = d_araw * g
         d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
 
-        def rsum(x):  # (P, C) -> (1, C) reduce over pixels
-            return jnp.sum(x, axis=0, keepdims=True)
+        # All 9 pixel reductions ride the MXU. The geometric gradients
+        # expand dx = x_c - px, dy = y_c - py into pixel-coordinate moments
+        # M_k = sum_p d_power[p,c] * poly_k(px,py): one (6,P)@(P,C) matmul
+        # replaces five masked (P,C) product+reduce passes; dL/dopacity
+        # falls out of M_0 since d_op = d_araw*g = d_power/opacity on kept
+        # lanes (alpha_raw = op*g).
+        mom = _dot_sub(moment_m, d_power_px)  # (6, C): [1, px, py, px2, pxpy, py2]
+        m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
+        x_c = f[0:1, :]
+        y_c = f[1:2, :]
+        ca = f[2:3, :]
+        cb = f[3:4, :]
+        cc = f[4:5, :]
+        e_x = x_c * m0 - mx  # sum_p d_power * dx
+        e_y = y_c * m0 - my
+        e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
+        e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
+        e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
+        wmom = _dot_sub(cot_m, w)  # (3, C): color-cotangent-weighted weights
 
-        dbuf[slot, 0:1, :] = rsum(d_power_px * (-(f[2:3, :] * dx + f[3:4, :] * dy)))
-        dbuf[slot, 1:2, :] = rsum(d_power_px * (-(f[4:5, :] * dy + f[3:4, :] * dx)))
-        dbuf[slot, 2:3, :] = rsum(d_power_px * (-0.5 * dx * dx))
-        dbuf[slot, 3:4, :] = rsum(d_power_px * (-dx * dy))
-        dbuf[slot, 4:5, :] = rsum(d_power_px * (-0.5 * dy * dy))
-        dbuf[slot, 5:6, :] = rsum(gr * w)
-        dbuf[slot, 6:7, :] = rsum(gg * w)
-        dbuf[slot, 7:8, :] = rsum(gb * w)
-        dbuf[slot, 8:9, :] = rsum(d_op_px)
+        dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
+        dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)
+        dbuf[slot, 2:3, :] = -0.5 * e_xx
+        dbuf[slot, 3:4, :] = -e_xy
+        dbuf[slot, 4:5, :] = -0.5 * e_yy
+        dbuf[slot, 5:8, :] = wmom
+        dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
         dbuf[slot, 9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
         grad_dma(slot, ci).start()
 
-        T_before_chunk = jnp.clip(
-            T_after / jnp.maximum(suf[:, 0:1], 1e-30), 0.0, 1.0
-        )
+        logT_before_chunk = jnp.minimum(logT_after - lsuf[:, 0:1], 0.0)
         S_new = S + jnp.sum(u, axis=1, keepdims=True)
-        return T_before_chunk, S_new
+        return logT_before_chunk, S_new
 
     S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
-    jax.lax.fori_loop(0, n_chunks_done, body, (final_t, S0))
-    # Chunks skipped by forward early-exit contributed nothing; their slots
-    # are left UNWRITTEN here (garbage) and masked out by the caller via the
-    # per-tile chunks_done count (avoids a serialized zero-fill DMA chain).
+    jax.lax.fori_loop(0, n_chunks_done, body, (log_final_t, S0))
+    # Chunks skipped by forward early-exit contributed nothing; their region
+    # slots are left UNWRITTEN here (garbage) and excluded by the caller via
+    # the per-tile chunks_done count (sorted_slot_map sends those instances
+    # to the zero-fill sentinel).
 
     # drain the last (up to two) in-flight grad write-backs
     @pl.when(n_chunks_done >= 1)
@@ -345,22 +418,8 @@ def _bwd_kernel(
 
 
 # ---------------------------------------------------------------------------
-# Chunk-aligned CSR layout
+# Instance-layout bookkeeping (sorted CSR, no relayout)
 # ---------------------------------------------------------------------------
-
-
-def align_csr(offsets, chunk: int, total_slots: int, counts=None):
-    """Chunk-aligned per-tile layout bookkeeping.
-
-    Returns (dst_shift (K?,) unused externally, aligned_offsets (T+1,),
-    counts (T,)). See aligned_instance_map for the slot mapping."""
-    if counts is None:
-        counts = offsets[1:] - offsets[:-1]
-    aligned = ((counts + chunk - 1) // chunk) * chunk
-    aoff = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
-    )
-    return aoff, counts
 
 
 def _tile_step_fn(values, offsets, k_ax):
@@ -372,46 +431,68 @@ def _tile_step_fn(values, offsets, k_ax):
     return jnp.cumsum(delta)
 
 
-def aligned_instance_map(gauss_id, offsets, aoff, counts, n_gauss, total_slots, chunk):
-    """Map the sorted CSR instance list into the chunk-aligned slot axis.
+def grad_region_offsets(offsets, chunk: int):
+    """Chunk-aligned PRIVATE gradient-region offsets per tile.
 
-    dst[k] = k + (aoff[t] - offsets[t]) for k in tile t, keeping only the
-    tile's first ``counts[t]`` instances (counts may be gated below the CSR
-    length by AMR level masking). Returns gid_al (S,) int32 with sentinel
-    ``n_gauss`` on padding slots.
-    """
-    k_ax = gauss_id.shape[0]
-    kk = jnp.arange(k_ax, dtype=jnp.int32)
-    shift = _tile_step_fn(aoff[:-1] - offsets[:-1], offsets, k_ax)
-    allowed_end = _tile_step_fn(offsets[:-1] + counts, offsets, k_ax)
-    keep = (kk < offsets[-1]) & (kk < allowed_end)
-    dst = jnp.where(keep, kk + shift, total_slots)
-    gid_al = jnp.full(total_slots, n_gauss, jnp.int32)
-    gid_al = gid_al.at[dst].set(gauss_id, mode="drop")
-    return gid_al
+    Tile t's backward pass reads the aligned superset
+    [floor(o_t/chunk)*chunk, o_t+n_t) and writes one grad chunk per read
+    chunk; regions are disjoint so no two grid programs DMA the same slots
+    regardless of execution order. Returns gaoff (T+1,) int32; total size is
+    bounded by K + T*chunk."""
+    counts = offsets[1:] - offsets[:-1]
+    start_al = (offsets[:-1] // chunk) * chunk
+    span = offsets[1:] - start_al
+    n_chunks = jnp.where(counts > 0, (span + chunk - 1) // chunk, 0)
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks * chunk).astype(jnp.int32)]
+    )
 
 
-def pack_features_aos(xy, conic, rgb, op):
-    """(N+1, FEAT) float32 feature rows; the sentinel last row is zero so
-    padding slots gather zeros (invalid anyway by the kernel count mask)."""
+def sorted_slot_map(offsets, gaoff, chunks_done, chunk, k_ax, s_ax):
+    """Grad-region slot of each SORTED instance position p.
+
+    slot(p) = gaoff[t] + (p - floor(o_t/chunk)*chunk) for p in tile t.
+    Positions past the live range (p >= offsets[-1]) or in chunks the forward
+    early-exited (their grads were never written) map to the sentinel s_ax
+    (out-of-bounds -> zero-fill on gather)."""
+    pp = jnp.arange(k_ax, dtype=jnp.int32)
+    start_al = (offsets[:-1] // chunk) * chunk
+    base = _tile_step_fn(gaoff[:-1], offsets, k_ax)
+    al = _tile_step_fn(start_al, offsets, k_ax)
+    done = _tile_step_fn(chunks_done, offsets, k_ax)
+    ci = (pp - al) // chunk
+    slot = pp - al + base
+    valid = (pp < offsets[-1]) & (ci < done)
+    return jnp.where(valid, slot, s_ax)
+
+
+def pack_features(xy, conic, rgb, op):
+    """(N, FEAT) float32 feature rows."""
     n = xy.shape[0]
-    f = jnp.zeros((n + 1, FEAT), jnp.float32)
-    f = f.at[:n, 0:2].set(xy)
-    f = f.at[:n, 2:5].set(conic)
-    f = f.at[:n, 5:8].set(rgb)
-    f = f.at[:n, 8].set(op)
+    f = jnp.zeros((n, FEAT), jnp.float32)
+    f = f.at[:, 0:2].set(xy)
+    f = f.at[:, 2:5].set(conic)
+    f = f.at[:, 5:8].set(rgb)
+    f = f.at[:, 8].set(op)
     return f
 
 
-def _tile_origins(grid_x: int, grid_y: int, tile: int):
-    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
-    return jnp.stack([(t % grid_x) * tile, (t // grid_x) * tile], axis=-1)
+def _sorted_features(xy, conic, rgb, op, gauss_id, chunk):
+    """Gather features into the depth-sorted CSR order: (FEAT, K') SoA with
+    K' padded up to a chunk multiple (superset reads may touch the pad)."""
+    feat = pack_features(xy, conic, rgb, op)[gauss_id]  # (K, FEAT) row gather
+    k = feat.shape[0]
+    pad = (-k) % chunk
+    if pad:
+        feat = jnp.concatenate([feat, jnp.zeros((pad, FEAT), jnp.float32)], axis=0)
+    return feat.T  # (FEAT, K')
 
 
-def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
+def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
               stride=1, offx=0, offy=0):
     num_tiles = grid_x * grid_y
     pixels = (tile // stride) * (tile // stride)
+    assert feat_soa.shape[1] % chunk == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -430,15 +511,16 @@ def _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
         out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(aoff, counts, feat_soa)
+    )(offsets, counts, feat_soa)
 
 
-def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile, chunk, interpret):
+def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
+              grid_x, grid_y, tile, chunk, interpret):
     num_tiles = grid_x * grid_y
     pixels = tile * tile
-    s = feat_soa.shape[1]
+    s_grad = feat_soa.shape[1] + num_tiles * chunk  # static bound on regions
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -456,11 +538,11 @@ def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile,
     return pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
                           grid_x=grid_x),
-        out_shape=jax.ShapeDtypeStruct((FEAT, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT, s_grad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(aoff, counts, feat_soa, gimg_tiles, fwd_out)
+    )(offsets, counts, gaoff, feat_soa, gimg_tiles, fwd_out)
 
 
 # ---------------------------------------------------------------------------
@@ -468,72 +550,76 @@ def _bwd_call(feat_soa, aoff, counts, gimg_tiles, fwd_out, grid_x, grid_y, tile,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def blend_pallas(
-    xy, conic, rgb, op, gauss_id, offsets,
+    xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start, gauss_count,
     grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
 ):
     """Differentiable tile compositing. Returns tiles (num_tiles, P, OUTC):
-    cols 0-2 color (no background), col 3 final transmittance."""
+    cols 0-2 color (no background), col 3 final transmittance.
+
+    gauss_id/offsets: depth-sorted CSR instance list (ops/binning.py).
+    unsorted_k (K,): pre-sort slot of each sorted instance; gauss_start/
+    gauss_count (N,): each gaussian's contiguous pre-sort instance range —
+    together they drive the scatter-free gradient reduction."""
     out, _ = _blend_fwd(
-        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
+        xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start,
+        gauss_count, grid_x, grid_y, tile, chunk, interpret,
     )
     return out
 
 
-def _aligned_features(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
-                      counts_override=None):
-    k = gauss_id.shape[0]
-    n = xy.shape[0]
-    num_tiles = grid_x * grid_y
-    total_slots = k + num_tiles * chunk  # static bound on the aligned length
-    aoff, counts = align_csr(offsets, chunk, total_slots, counts_override)
-    gid_al = aligned_instance_map(
-        gauss_id, offsets, aoff, counts, n, total_slots, chunk
-    )
-    feat_al = pack_features_aos(xy, conic, rgb, op)[gid_al]  # (S, FEAT) row gather
-    feat_soa = feat_al.T  # (FEAT, S)
-    return feat_soa, gid_al, aoff, counts
-
-
-def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret):
-    feat_soa, gid_al, aoff, counts = _aligned_features(
-        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk
-    )
-    out = _fwd_call(feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret)
-    return out, (feat_soa, gid_al, aoff, counts, out, xy.shape[0])
+def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start,
+               gauss_count, grid_x, grid_y, tile, chunk, interpret):
+    feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
+    counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    out = _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret)
+    return out, (feat_soa, offsets, counts, out, unsorted_k, gauss_start, gauss_count)
 
 
 def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
-    feat_soa, gid_al, aoff, counts, fwd_out, n = res
-    dfeat_soa = _bwd_call(
-        feat_soa, aoff, counts, g_out, fwd_out, grid_x, grid_y, tile, chunk, interpret
+    feat_soa, offsets, counts, fwd_out, unsorted_k, gauss_start, gauss_count = res
+    gaoff = grad_region_offsets(offsets, chunk)
+    dfeat = _bwd_call(
+        feat_soa, offsets, counts, gaoff, g_out, fwd_out,
+        grid_x, grid_y, tile, chunk, interpret,
     )
-    # Slots in chunks the forward early-exited (and the backward therefore
-    # never wrote) hold garbage: mask them by the per-tile chunks-done count
-    # saved in forward-output column 4.
-    s_ax = feat_soa.shape[1]
+    s_ax = dfeat.shape[1]
+    k_ax = unsorted_k.shape[0]
     chunks_done = fwd_out[:, 0, 4].astype(jnp.int32)  # (T,)
-    kk = jnp.arange(s_ax, dtype=jnp.int32)
-    valid_end = _tile_step_fn(aoff[:-1] + chunks_done * chunk, aoff, s_ax)
-    valid = kk < valid_end
-    # Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554) as 9
-    # independent 1D scatter-adds on the SoA rows — ~9x faster on TPU than a
-    # row-wise segment_sum. Sentinel id n collects padding; dropped by [:n].
-    def seg(row):
-        return (
-            jnp.zeros(n + 1, jnp.float32)
-            .at[gid_al]
-            .add(jnp.where(valid, row, 0.0))[:n]
-        )
-
+    slot = sorted_slot_map(offsets, gaoff, chunks_done, chunk, k_ax, s_ax)
+    # Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554)
+    # WITHOUT scatter-add: reorder grad rows into pre-sort instance order
+    # (one key+payload sort; each gaussian's instances are then contiguous),
+    # then segment-sum by exclusive-prefix-sum difference. Sentinel slots
+    # (dead instances, early-exited chunks) gather zero via OOB fill.
+    _, inv_slot = jax.lax.sort((unsorted_k, slot), num_keys=1)
+    # materialize the (S, 9) transpose BEFORE the gather: a fused
+    # transpose-gather reads 9 strided cache lines per row (~3x slower on
+    # TPU than one contiguous 36B row read)
+    dfeat_rows = jax.lax.optimization_barrier(dfeat[:9].T)
+    rows = jnp.take(dfeat_rows, inv_slot, axis=0, mode="fill", fill_value=0.0)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows, axis=0)], axis=0
+    )
+    # gaussian instance ranges are CONTIGUOUS (gauss_start[g+1] ==
+    # gauss_start[g] + gauss_count[g] by construction in binning), so one
+    # boundary gather + adjacent difference replaces two gathers
+    n = gauss_start.shape[0]
+    last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
+    pos = jnp.clip(jnp.concatenate([gauss_start, last]), 0, k_ax)
+    at_bounds = csum[pos]  # (N+1, 9) monotone row gather
+    seg = at_bounds[1:] - at_bounds[:-1]  # (N, 9)
     return (
-        jnp.stack([seg(dfeat_soa[0]), seg(dfeat_soa[1])], axis=1),  # d xy
-        jnp.stack([seg(dfeat_soa[2]), seg(dfeat_soa[3]), seg(dfeat_soa[4])], axis=1),
-        jnp.stack([seg(dfeat_soa[5]), seg(dfeat_soa[6]), seg(dfeat_soa[7])], axis=1),
-        seg(dfeat_soa[8]),  # d opacity
+        seg[:, 0:2],  # d xy
+        seg[:, 2:5],  # d conic
+        seg[:, 5:8],  # d rgb
+        seg[:, 8],  # d opacity
         None,  # gauss_id
         None,  # offsets
+        None,  # unsorted_k
+        None,  # gauss_start
+        None,  # gauss_count
     )
 
 
@@ -541,16 +627,19 @@ blend_pallas.defvjp(_blend_fwd, _blend_bwd)
 
 
 def render_tiles_pallas(
-    xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, bg,
+    xy, conic, rgb, op, binning, grid_x, grid_y, tile, bg,
     chunk: int = 128, interpret: bool | None = None,
 ):
     """Full-image Pallas renderer; same contract as
-    tile_blend.render_tiles_jnp. Background compositing and image assembly
-    happen in XLA (autodiff covers their gradients, including d/d bg)."""
+    tile_blend.render_tiles_jnp but takes the Binning tuple. Background
+    compositing and image assembly happen in XLA (autodiff covers their
+    gradients, including d/d bg)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tiles = blend_pallas(
-        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile, chunk, interpret
+        xy, conic, rgb, op, binning.gauss_id, binning.offsets,
+        binning.unsorted_k, binning.gauss_start, binning.gauss_count,
+        grid_x, grid_y, tile, chunk, interpret,
     )
     color = tiles[:, :, 0:3]  # (T, P, 3)
     final_t = tiles[:, :, 3]  # (T, P)
@@ -574,11 +663,12 @@ def blend_round_pallas(
     SURVEY.md section 2.2)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    feat_soa, gid_al, aoff, counts = _aligned_features(
-        xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, chunk,
-        counts_override=counts_override,
-    )
+    feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
+    if counts_override is None:
+        counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    else:
+        counts = counts_override.astype(jnp.int32)
     return _fwd_call(
-        feat_soa, aoff, counts, grid_x, grid_y, tile, chunk, interpret,
+        feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
         stride=stride, offx=offx, offy=offy,
     )

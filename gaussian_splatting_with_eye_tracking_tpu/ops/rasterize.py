@@ -77,7 +77,7 @@ def _rasterize_impl(
 
         color, final_t = pallas_blend.render_tiles_pallas(
             means2d, prep.conics, prep.rgb, prep.opacities,
-            b.gauss_id, b.offsets, grid_x, grid_y, tile, bg,
+            b, grid_x, grid_y, tile, bg,
         )
     else:
         color, final_t = tile_blend.render_tiles_jnp(

@@ -89,7 +89,7 @@ def _band_render(
 
         color, final_t = pallas_blend.render_tiles_pallas(
             means2d, local.conics, local.rgb, local.opacities,
-            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            b, grid_x, grid_y_local, tile,
             jnp.zeros(3),
         )
     else:
@@ -182,7 +182,7 @@ def _band_composite_from_prep(
 
         color, final_t = pallas_blend.render_tiles_pallas(
             means2d, local.conics, local.rgb, local.opacities,
-            b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
+            b, grid_x, grid_y_local, tile,
             jnp.zeros(3),
         )
     else:

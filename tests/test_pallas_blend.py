@@ -24,68 +24,86 @@ def setup_scene(n=300, seed=0, w=64, h=64):
     return cam, prep, b, gx, gy
 
 
-class TestAlignCSR:
-    def test_alignment_properties(self):
+class TestGradRegionLayout:
+    def test_grad_region_offsets(self):
         offsets = jnp.array([0, 5, 5, 133, 140], jnp.int32)
         chunk = 64
-        total = 5 * 64 + 140
-        aoff, counts = pallas_blend.align_csr(offsets, chunk, total)
-        aoff_n = np.asarray(aoff)
-        assert (aoff_n % chunk == 0).all()
-        np.testing.assert_array_equal(np.asarray(counts), [5, 0, 128, 7])
+        gaoff = np.asarray(pallas_blend.grad_region_offsets(offsets, chunk))
+        # tile 0: [0,5) -> 1 chunk; tile 1 empty; tile 2: superset [0,133)
+        # -> 3 chunks; tile 3: superset [128,140) -> 1 chunk
+        np.testing.assert_array_equal(gaoff, [0, 64, 64, 256, 320])
+        assert (gaoff % chunk == 0).all()
 
-        # instance slot mapping: each tile's aligned slots hold its original
-        # contiguous instance ids; padding slots hold the sentinel
-        k = 160
-        gauss_id = jnp.arange(k, dtype=jnp.int32) + 1000
-        gid_al = pallas_blend.aligned_instance_map(
-            gauss_id, offsets, aoff, counts, 5000, total, chunk
-        )
-        gid_n = np.asarray(gid_al)
-        for t in range(4):
-            sl = slice(aoff_n[t], aoff_n[t] + int(counts[t]))
-            np.testing.assert_array_equal(
-                gid_n[sl], 1000 + np.arange(int(offsets[t]), int(offsets[t + 1]))
-            )
-            assert (gid_n[aoff_n[t] + int(counts[t]): aoff_n[t + 1]] == 5000).all()
-        assert (gid_n[aoff_n[-1]:] == 5000).all()
-
-    def test_gated_counts(self):
-        offsets = jnp.array([0, 70, 140], jnp.int32)
+    def test_sorted_slot_map(self):
+        offsets = jnp.array([0, 5, 5, 133, 140], jnp.int32)
         chunk = 64
-        total = 4 * 64
-        gated = jnp.array([70, 0], jnp.int32)
-        aoff, counts = pallas_blend.align_csr(offsets, chunk, total, gated)
-        np.testing.assert_array_equal(np.asarray(aoff), [0, 128, 128])
-        gid_al = pallas_blend.aligned_instance_map(
-            jnp.arange(140, dtype=jnp.int32), offsets, aoff, counts, 999, total, chunk
+        gaoff = pallas_blend.grad_region_offsets(offsets, chunk)
+        k_ax, s_ax = 192, 512
+        done = jnp.array([1, 0, 3, 1], jnp.int32)  # chunks the fwd ran
+        slot = np.asarray(
+            pallas_blend.sorted_slot_map(offsets, gaoff, done, chunk, k_ax, s_ax)
         )
-        gid_n = np.asarray(gid_al)
-        np.testing.assert_array_equal(gid_n[:70], np.arange(70))
-        assert (gid_n[70:] == 999).all()  # gated-off tile fully dropped
+        # tile 0: p in [0,5) -> slots [0,5)
+        np.testing.assert_array_equal(slot[0:5], np.arange(0, 5))
+        # tile 2: p in [5,133), superset starts at 0 -> slots 64 + p
+        np.testing.assert_array_equal(slot[5:133], 64 + np.arange(5, 133))
+        # tile 3: p in [133,140), superset starts at 128 -> slots 256 + p-128
+        np.testing.assert_array_equal(slot[133:140], 256 + np.arange(5, 12))
+        # beyond the live range: sentinel
+        assert (slot[140:] == s_ax).all()
+
+    def test_sorted_slot_map_early_exit(self):
+        """Instances in chunks the forward skipped map to the sentinel."""
+        offsets = jnp.array([0, 130], jnp.int32)
+        chunk = 64
+        gaoff = pallas_blend.grad_region_offsets(offsets, chunk)
+        slot = np.asarray(
+            pallas_blend.sorted_slot_map(
+                offsets, gaoff, jnp.array([1], jnp.int32), chunk, 192, 999
+            )
+        )
+        np.testing.assert_array_equal(slot[0:64], np.arange(64))
+        assert (slot[64:] == 999).all()
+
+
+def fake_binning(gid, offsets, n_gauss):
+    """Binning tuple for hand-built single-instance-per-gaussian lists
+    (each gaussian appears exactly once, already in pre-sort order)."""
+    k = gid.shape[0]
+    count = jnp.zeros(n_gauss, jnp.int32).at[gid].add(1)
+    start = jnp.cumsum(count) - count
+    return binning_ops.Binning(
+        gauss_id=gid, tile_id=jnp.zeros(k, jnp.int32), offsets=offsets,
+        num_instances=offsets[-1], overflow=jnp.array(False),
+        unsorted_k=jnp.arange(k, dtype=jnp.int32),
+        gauss_start=start, gauss_count=count,
+    )
 
 
 class TestPallasForward:
     def test_matches_jnp_tiles(self):
         cam, prep, b, gx, gy = setup_scene()
-        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities, b.gauss_id, b.offsets)
+        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
         want_c, want_t = tile_blend.render_tiles_jnp(
-            *args, gx, gy, 32, BG, max_per_tile=512
+            *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=512
         )
         got_c, got_t = pallas_blend.render_tiles_pallas(
-            *args, gx, gy, 32, BG, chunk=128, interpret=True
+            *args, b, gx, gy, 32, BG, chunk=128, interpret=True
         )
         np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
         np.testing.assert_allclose(got_t, want_t, atol=3e-4)
 
     def test_multiple_chunks_per_tile(self):
         """Instance count forces several chunks; parity must hold across
-        chunk boundaries (carry logic)."""
+        chunk boundaries (carry logic) and across the unaligned superset
+        reads (offsets not chunk multiples)."""
         cam, prep, b, gx, gy = setup_scene(n=500, seed=1)
-        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities, b.gauss_id, b.offsets)
-        want_c, _ = tile_blend.render_tiles_jnp(*args, gx, gy, 32, BG, max_per_tile=512)
+        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
+        want_c, _ = tile_blend.render_tiles_jnp(
+            *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=512
+        )
         got_c, _ = pallas_blend.render_tiles_pallas(
-            *args, gx, gy, 32, BG, chunk=32, interpret=True
+            *args, b, gx, gy, 32, BG, chunk=32, interpret=True
         )
         np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
 
@@ -102,14 +120,44 @@ class TestPallasForward:
         op = jnp.full((n,), 0.95)
         gid = jnp.arange(n, dtype=jnp.int32)
         offsets = jnp.array([0, n], jnp.int32)
+        fb = fake_binning(gid, offsets, n)
         got_c, got_t = pallas_blend.render_tiles_pallas(
-            xy, conic, rgb, op, gid, offsets, 1, 1, 32, BG, chunk=64, interpret=True
+            xy, conic, rgb, op, fb, 1, 1, 32, BG, chunk=64, interpret=True
         )
         want_c, want_t = tile_blend.render_tiles_jnp(
             xy, conic, rgb, op, gid, offsets, 1, 1, 32, BG, max_per_tile=n
         )
         assert float(got_t.max()) < 1e-3
         np.testing.assert_allclose(got_c, want_c, atol=5e-4, rtol=1e-2)
+
+    def test_early_exit_grads_zero_for_skipped(self):
+        """Gradients of instances in early-exited chunks must be exactly
+        zero (their grad-region chunks are never written)."""
+        n = 600
+        rng = np.random.default_rng(7)
+        xy = jnp.asarray(
+            np.stack([rng.uniform(8, 24, n), rng.uniform(8, 24, n)], -1).astype(np.float32)
+        )
+        # near-flat gaussians covering the whole tile at alpha ~ 0.99:
+        # every pixel saturates within the first chunk
+        conic = jnp.tile(jnp.array([[1e-4, 0.0, 1e-4]]), (n, 1))
+        rgb = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+        op = jnp.full((n,), 0.9)  # alpha 0.9 < clamp; T < 1e-4 after 4
+        gid = jnp.arange(n, dtype=jnp.int32)
+        offsets = jnp.array([0, n], jnp.int32)
+        fb = fake_binning(gid, offsets, n)
+
+        def loss(rgb):
+            c, t = pallas_blend.render_tiles_pallas(
+                xy, conic, rgb, op, fb, 1, 1, 32, BG, chunk=64, interpret=True
+            )
+            return jnp.sum(c)
+
+        g = np.asarray(jax.grad(loss)(rgb))
+        assert np.isfinite(g).all()
+        # the far tail (beyond saturation) gets exactly zero gradient
+        assert (g[-64:] == 0).all()
+        assert (g[:64] != 0).any()
 
 
 class TestPallasGradients:
@@ -119,7 +167,7 @@ class TestPallasGradients:
 
         def loss_pallas(xy, conic, rgb, op):
             c, t = pallas_blend.render_tiles_pallas(
-                xy, conic, rgb, op, b.gauss_id, b.offsets, gx, gy, 32, BG,
+                xy, conic, rgb, op, b, gx, gy, 32, BG,
                 chunk=64, interpret=True,
             )
             return jnp.sum(c**2) + jnp.sum(t * 0.3)
@@ -145,7 +193,7 @@ class TestPallasGradients:
         def loss(bg):
             c, _ = pallas_blend.render_tiles_pallas(
                 prep.means2d, prep.conics, prep.rgb, prep.opacities,
-                b.gauss_id, b.offsets, gx, gy, 32, bg, chunk=64, interpret=True,
+                b, gx, gy, 32, bg, chunk=64, interpret=True,
             )
             return jnp.sum(c)
 
