@@ -33,7 +33,6 @@ class Binning(NamedTuple):
     offsets: jnp.ndarray  # (num_tiles+1,) int32 CSR offsets into the K axis
     num_instances: jnp.ndarray  # () int32, true duplicate count
     overflow: jnp.ndarray  # () bool, true count exceeded capacity
-    unsorted_k: jnp.ndarray  # (K,) int32 pre-sort slot of each sorted instance
     gauss_start: jnp.ndarray  # (N,) int32 pre-sort start of gaussian's instances
     gauss_count: jnp.ndarray  # (N,) int32 instances emitted per gaussian
 
@@ -92,12 +91,12 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: i
     # single-int32-key sort when tile+rank bits fit (fast path).
     if use_packed:
         key = (tile_id << rank_bits) | jnp.where(valid, a[:, 4], 0)
-        key_sorted, gauss_sorted, k_sorted = jax.lax.sort((key, g, k), num_keys=1)
+        key_sorted, gauss_sorted = jax.lax.sort((key, g), num_keys=1)
         tile_sorted = key_sorted >> rank_bits
     else:
         depth = jnp.where(valid, prep.depths[g], jnp.inf)
-        tile_sorted, _, gauss_sorted, k_sorted = jax.lax.sort(
-            (tile_id, depth, g, k), num_keys=2, is_stable=True
+        tile_sorted, _, gauss_sorted = jax.lax.sort(
+            (tile_id, depth, g), num_keys=2, is_stable=True
         )
 
     # Per-tile [start, end) ranges (identifyTileRanges,
@@ -113,7 +112,6 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: i
         offsets=offsets,
         num_instances=jnp.minimum(total, max_instances),
         overflow=overflow,
-        unsorted_k=k_sorted,
         gauss_start=excl,
         gauss_count=tiles,
     )

@@ -30,17 +30,19 @@ TPU-native re-design of the CUDA render kernels
   `accum_rec` (backward.cu:515-519) becomes a suffix scan along lanes, and
   per-instance gradients (reductions over pixels) are DMA'd to the tile's
   region of a (FEAT, S) gradient array. The atomicAdd over duplicate
-  instances (backward.cu:523-554) becomes, OUTSIDE the kernel: reorder the
-  per-instance gradient rows into the pre-sort (gaussian-contiguous)
-  instance order with ONE key+payload sort, then reduce each gaussian's
-  contiguous segment by an exclusive-prefix-sum difference — no
-  scatter-add anywhere (XLA scatter-add with duplicate indices costs
-  ~70 ns/row on TPU; sort + cumsum is ~10x cheaper at 2M instances).
+  instances (backward.cu:523-554) becomes, OUTSIDE the kernel, a single
+  key+payload sort: the kernel tags every gradient column with its
+  GAUSSIAN ID (grad row 9, +inf for dead lanes), so one
+  `lax.sort(id, 9 grad rows)` groups each gaussian's instance gradients
+  contiguously, and a cumsum + boundary difference finishes the segment
+  reduction. No gather or scatter anywhere: on TPU an XLA row-gather
+  costs ~20 ns/row (47 ms at 2M instances) while a 9-payload sort of the
+  same size is ~4 ms.
 
 Feature rows in the SoA array: [x, y, conic_a, conic_b, conic_c, r, g, b,
-opacity, <7 pad>] (FEAT=16 rows). On hardware, CHUNK must be a multiple of
-128 (DMA lane alignment); smaller chunks are allowed only in interpret mode
-(CPU tests).
+opacity, gauss_id, <6 pad>] (FEAT=16 rows). On hardware, CHUNK must be a
+multiple of 128 (DMA lane alignment); smaller chunks are allowed only in
+interpret mode (CPU tests).
 """
 
 from __future__ import annotations
@@ -58,7 +60,8 @@ ALPHA_MAX = 0.99
 T_MIN = 1e-4
 LOG_T_MIN = math.log(1e-4)
 
-FEAT = 16  # SoA rows (9 used, padded to a sublane-friendly 16)
+FEAT = 16  # SoA rows (10 used, padded to a sublane-friendly 16)
+GID_ROW = 9  # feature/grad row carrying the gaussian id (f32-exact < 2^24)
 OUTC = 8  # output columns per pixel: r, g, b, final_T, chunks_done, pad
 
 # Full-f32 matmul accuracy on the MXU (plain bf16 would lose ~0.4% on the
@@ -240,7 +243,11 @@ def _fwd_kernel(
         # color accumulation on the MXU: contract lanes of w with the
         # chunk's rgb rows -> (P, 3)
         rgb_acc = rgb_acc + _dot_lanes(w, f[5:8, :])
-        logT = logT + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
+        # log of the scan's last column (ONE transcendental column) replaces
+        # a full (P, C) log1p + row-sum; the 1e-37 clamp only fires when the
+        # true product is below f32-denormal, i.e. the pixel is saturated
+        # orders of magnitude past the T_MIN exit threshold.
+        logT = logT + jnp.log(jnp.maximum(cp[:, -1:], 1e-37))
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
 
@@ -284,6 +291,7 @@ def _bwd_kernel(
     o = off_ref[t]
     n = counts_ref[t]
     start = (o // chunk) * chunk
+    n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
     gbase = gaoff_ref[t]
     px, py = _pixel_coords(t, grid_x, pixels, tile)
 
@@ -309,23 +317,29 @@ def _bwd_kernel(
             dbuf.at[slot], dfeat_hbm.at[:, pl.ds(off, chunk)], outsem.at[slot]
         )
 
-    @pl.when(n_chunks_done > 0)
+    @pl.when(n_chunks > 0)
     def _():
-        dma_in((n_chunks_done - 1) % 2, n_chunks_done - 1).start()
+        dma_in((n_chunks - 1) % 2, n_chunks - 1).start()
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     # loop-invariant matrices for the MXU reductions: pixel-coordinate
-    # moments (6, P) and the color cotangent rows (4, P; row 3 = ones for
-    # the opacity-path reduction)
+    # moments (6, P) and the color cotangent rows (3, P). The moments use
+    # TILE-LOCAL coordinates: the dx/dy expansion below is frame-invariant,
+    # but with global coordinates the cancellation x_c*y_c*m0 - x_c*my -
+    # y_c*mx + mxy amplifies f32 rounding by ~coord^2 (4e6 at 1080p),
+    # visibly corrupting conic gradients; local coords bound it at tile^2.
+    ox = ((t % grid_x) * tile).astype(jnp.float32)
+    oy = ((t // grid_x) * tile).astype(jnp.float32)
+    pxl = px - ox  # (P, 1) in [0, tile)
+    pyl = py - oy
     ones_p = jnp.ones((pixels, 1), jnp.float32)
     moment_m = jnp.concatenate(
-        [ones_p, px, py, px * px, px * py, py * py], axis=1
+        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
     )  # (P, 6)
     cot_m = jnp.concatenate([gr, gg, gb], axis=1)  # (P, 3)
 
     def body(i, carry):
-        logT_after, S = carry
-        ci = n_chunks_done - 1 - i  # back-to-front (backward.cu:441-556)
+        ci = n_chunks - 1 - i  # back-to-front (backward.cu:441-556)
         slot = i % 2
 
         @pl.when(ci > 0)
@@ -341,94 +355,104 @@ def _bwd_kernel(
         dma_in(ci % 2, ci).wait()
         f = fbuf[ci % 2]
         ids = start + ci * chunk + lane_ids
-        alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(
-            f, px, py, ids, o, o + n
+        lane_valid = (ids >= o) & (ids < o + n)  # (1, C)
+
+        def computed(carry):
+            logT_after, S = carry
+            alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(
+                f, px, py, ids, o, o + n
+            )
+
+            # log-space division reconstruction (the CUDA backward divides,
+            # backward.cu:503, which returns 0/0 once T underflows f32 in
+            # saturated tiles; subtracting log-transmittances is exact)
+            lom = jnp.log1p(-alpha)
+            lsuf = _suffix_sum_lanes_incl(lom, chunk)  # sum_{j>=i} log(1-a_j)
+            T_i = jnp.exp(jnp.minimum(logT_after - lsuf, 0.0))
+            w = alpha * T_i  # (P, C)
+
+            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: rank-3 on the MXU
+            G_rgb = _dot(cot_m, f[5:8, :])  # (P, C)
+            u = G_rgb * w
+            S_i = S + _suffix_sum_lanes_incl(u, chunk) - u  # suffix-exclusive
+
+            one_m = jnp.maximum(1.0 - alpha, 1e-6)
+            d_alpha = T_i * G_rgb - S_i / one_m
+            d_alpha = jnp.where(keep, d_alpha, 0.0)
+            # clamp gate at 0.99 (matches jnp.minimum vjp of the jnp path)
+            d_araw = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
+
+            d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
+
+            # All 9 pixel reductions ride the MXU. The geometric gradients
+            # expand dx = x_c - px, dy = y_c - py into pixel-coordinate
+            # moments M_k = sum_p d_power[p,c] * poly_k(px,py): one
+            # (6,P)@(P,C) matmul replaces five masked (P,C) product+reduce
+            # passes; dL/dopacity falls out of M_0 since d_op = d_araw*g =
+            # d_power/opacity on kept lanes (alpha_raw = op*g).
+            mom = _dot_sub(moment_m, d_power_px)  # (6, C)
+            m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
+            x_c = f[0:1, :] - ox  # tile-local frame, matching moment_m
+            y_c = f[1:2, :] - oy
+            ca = f[2:3, :]
+            cb = f[3:4, :]
+            cc = f[4:5, :]
+            e_x = x_c * m0 - mx  # sum_p d_power * dx
+            e_y = y_c * m0 - my
+            e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
+            e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
+            e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
+            wmom = _dot_sub(cot_m, w)  # (3, C): cotangent-weighted weights
+
+            dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
+            dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)
+            dbuf[slot, 2:3, :] = -0.5 * e_xx
+            dbuf[slot, 3:4, :] = -e_xy
+            dbuf[slot, 4:5, :] = -0.5 * e_yy
+            dbuf[slot, 5:8, :] = wmom
+            dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
+
+            logT_before_chunk = jnp.minimum(logT_after - lsuf[:, 0:1], 0.0)
+            S_new = S + jnp.sum(u, axis=1, keepdims=True)
+            return logT_before_chunk, S_new
+
+        def skipped(carry):
+            # chunk was early-exited by the forward: its instances
+            # contributed nothing (T < 1e-4), gradients are exactly zero —
+            # but the sort key below still needs real gaussian ids, so the
+            # chunk is written (zero payload) rather than left as garbage
+            dbuf[slot, 0:GID_ROW, :] = jnp.zeros((GID_ROW, chunk), jnp.float32)
+            return carry
+
+        carry = jax.lax.cond(ci < n_chunks_done, computed, skipped, carry)
+        # gaussian-id sort key: this tile's own lanes carry their gaussian
+        # id; superset lanes owned by neighboring tiles get +inf (their
+        # grads above are zeros) so they sort past every live instance
+        dbuf[slot, GID_ROW:GID_ROW + 1, :] = jnp.where(
+            lane_valid, f[GID_ROW:GID_ROW + 1, :], jnp.float32(jnp.inf)
         )
-
-        # log-space division reconstruction (the CUDA backward divides,
-        # backward.cu:503, which returns 0/0 once T underflows f32 in
-        # saturated tiles; subtracting log-transmittances is exact)
-        lom = jnp.log1p(-alpha)
-        lsuf = _suffix_sum_lanes_incl(lom, chunk)  # sum_{j>=i} log(1-a_j)
-        T_i = jnp.exp(jnp.minimum(logT_after - lsuf, 0.0))
-        w = alpha * T_i  # (P, C)
-
-        # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: rank-3 product on the MXU
-        G_rgb = _dot(cot_m, f[5:8, :])  # (P, C)
-        u = G_rgb * w
-        S_i = S + _suffix_sum_lanes_incl(u, chunk) - u  # suffix-exclusive
-
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = T_i * G_rgb - S_i / one_m
-        d_alpha = jnp.where(keep, d_alpha, 0.0)
-        # clamp gate at 0.99 (matches jnp.minimum vjp of the jnp path)
-        d_araw = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
-
-        d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
-
-        # All 9 pixel reductions ride the MXU. The geometric gradients
-        # expand dx = x_c - px, dy = y_c - py into pixel-coordinate moments
-        # M_k = sum_p d_power[p,c] * poly_k(px,py): one (6,P)@(P,C) matmul
-        # replaces five masked (P,C) product+reduce passes; dL/dopacity
-        # falls out of M_0 since d_op = d_araw*g = d_power/opacity on kept
-        # lanes (alpha_raw = op*g).
-        mom = _dot_sub(moment_m, d_power_px)  # (6, C): [1, px, py, px2, pxpy, py2]
-        m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
-        x_c = f[0:1, :]
-        y_c = f[1:2, :]
-        ca = f[2:3, :]
-        cb = f[3:4, :]
-        cc = f[4:5, :]
-        e_x = x_c * m0 - mx  # sum_p d_power * dx
-        e_y = y_c * m0 - my
-        e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
-        e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
-        e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
-        wmom = _dot_sub(cot_m, w)  # (3, C): color-cotangent-weighted weights
-
-        dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
-        dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)
-        dbuf[slot, 2:3, :] = -0.5 * e_xx
-        dbuf[slot, 3:4, :] = -e_xy
-        dbuf[slot, 4:5, :] = -0.5 * e_yy
-        dbuf[slot, 5:8, :] = wmom
-        dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
-        dbuf[slot, 9:FEAT, :] = jnp.zeros((FEAT - 9, chunk), jnp.float32)
+        dbuf[slot, GID_ROW + 1:FEAT, :] = jnp.zeros(
+            (FEAT - GID_ROW - 1, chunk), jnp.float32
+        )
         grad_dma(slot, ci).start()
-
-        logT_before_chunk = jnp.minimum(logT_after - lsuf[:, 0:1], 0.0)
-        S_new = S + jnp.sum(u, axis=1, keepdims=True)
-        return logT_before_chunk, S_new
+        return carry
 
     S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
-    jax.lax.fori_loop(0, n_chunks_done, body, (log_final_t, S0))
-    # Chunks skipped by forward early-exit contributed nothing; their region
-    # slots are left UNWRITTEN here (garbage) and excluded by the caller via
-    # the per-tile chunks_done count (sorted_slot_map sends those instances
-    # to the zero-fill sentinel).
+    jax.lax.fori_loop(0, n_chunks, body, (log_final_t, S0))
 
     # drain the last (up to two) in-flight grad write-backs
-    @pl.when(n_chunks_done >= 1)
+    @pl.when(n_chunks >= 1)
     def _():
-        grad_dma((n_chunks_done - 1) % 2, 0).wait()
+        grad_dma((n_chunks - 1) % 2, 0).wait()
 
-    @pl.when(n_chunks_done >= 2)
+    @pl.when(n_chunks >= 2)
     def _():
-        grad_dma((n_chunks_done - 2) % 2, 1).wait()
+        grad_dma((n_chunks - 2) % 2, 1).wait()
 
 
 # ---------------------------------------------------------------------------
 # Instance-layout bookkeeping (sorted CSR, no relayout)
 # ---------------------------------------------------------------------------
-
-
-def _tile_step_fn(values, offsets, k_ax):
-    """Per-slot step function: out[k] = values[t] for k in tile t's CSR range,
-    via boundary scatter + prefix sum (no per-slot search)."""
-    delta = jnp.zeros(k_ax, values.dtype)
-    delta = delta.at[offsets[0:1]].add(values[0:1], mode="drop")
-    delta = delta.at[offsets[1:-1]].add(values[1:] - values[:-1], mode="drop")
-    return jnp.cumsum(delta)
 
 
 def grad_region_offsets(offsets, chunk: int):
@@ -448,24 +472,6 @@ def grad_region_offsets(offsets, chunk: int):
     )
 
 
-def sorted_slot_map(offsets, gaoff, chunks_done, chunk, k_ax, s_ax):
-    """Grad-region slot of each SORTED instance position p.
-
-    slot(p) = gaoff[t] + (p - floor(o_t/chunk)*chunk) for p in tile t.
-    Positions past the live range (p >= offsets[-1]) or in chunks the forward
-    early-exited (their grads were never written) map to the sentinel s_ax
-    (out-of-bounds -> zero-fill on gather)."""
-    pp = jnp.arange(k_ax, dtype=jnp.int32)
-    start_al = (offsets[:-1] // chunk) * chunk
-    base = _tile_step_fn(gaoff[:-1], offsets, k_ax)
-    al = _tile_step_fn(start_al, offsets, k_ax)
-    done = _tile_step_fn(chunks_done, offsets, k_ax)
-    ci = (pp - al) // chunk
-    slot = pp - al + base
-    valid = (pp < offsets[-1]) & (ci < done)
-    return jnp.where(valid, slot, s_ax)
-
-
 def pack_features(xy, conic, rgb, op):
     """(N, FEAT) float32 feature rows."""
     n = xy.shape[0]
@@ -479,8 +485,12 @@ def pack_features(xy, conic, rgb, op):
 
 def _sorted_features(xy, conic, rgb, op, gauss_id, chunk):
     """Gather features into the depth-sorted CSR order: (FEAT, K') SoA with
-    K' padded up to a chunk multiple (superset reads may touch the pad)."""
+    K' padded up to a chunk multiple (superset reads may touch the pad).
+    Row GID_ROW carries each instance's gaussian id (exact in f32 for
+    id < 2^24) — the backward kernel copies it out as the segment-reduction
+    sort key."""
     feat = pack_features(xy, conic, rgb, op)[gauss_id]  # (K, FEAT) row gather
+    feat = feat.at[:, GID_ROW].set(gauss_id.astype(jnp.float32))
     k = feat.shape[0]
     pad = (-k) % chunk
     if pad:
@@ -550,66 +560,68 @@ def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def blend_pallas(
-    xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start, gauss_count,
+    xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
     grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
 ):
     """Differentiable tile compositing. Returns tiles (num_tiles, P, OUTC):
     cols 0-2 color (no background), col 3 final transmittance.
 
     gauss_id/offsets: depth-sorted CSR instance list (ops/binning.py).
-    unsorted_k (K,): pre-sort slot of each sorted instance; gauss_start/
-    gauss_count (N,): each gaussian's contiguous pre-sort instance range —
-    together they drive the scatter-free gradient reduction."""
+    gauss_start/gauss_count (N,): each gaussian's contiguous pre-sort
+    instance range — they locate the per-gaussian segment boundaries of the
+    sorted gradient reduction."""
     out, _ = _blend_fwd(
-        xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start,
-        gauss_count, grid_x, grid_y, tile, chunk, interpret,
+        xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
+        grid_x, grid_y, tile, chunk, interpret,
     )
     return out
 
 
-def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, unsorted_k, gauss_start,
+def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, gauss_start,
                gauss_count, grid_x, grid_y, tile, chunk, interpret):
     feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
     counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
     out = _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret)
-    return out, (feat_soa, offsets, counts, out, unsorted_k, gauss_start, gauss_count)
+    return out, (feat_soa, offsets, counts, out, gauss_start, gauss_count)
 
 
 def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
-    feat_soa, offsets, counts, fwd_out, unsorted_k, gauss_start, gauss_count = res
+    feat_soa, offsets, counts, fwd_out, gauss_start, gauss_count = res
     gaoff = grad_region_offsets(offsets, chunk)
     dfeat = _bwd_call(
         feat_soa, offsets, counts, gaoff, g_out, fwd_out,
         grid_x, grid_y, tile, chunk, interpret,
     )
     s_ax = dfeat.shape[1]
-    k_ax = unsorted_k.shape[0]
-    chunks_done = fwd_out[:, 0, 4].astype(jnp.int32)  # (T,)
-    slot = sorted_slot_map(offsets, gaoff, chunks_done, chunk, k_ax, s_ax)
     # Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554)
-    # WITHOUT scatter-add: reorder grad rows into pre-sort instance order
-    # (one key+payload sort; each gaussian's instances are then contiguous),
-    # then segment-sum by exclusive-prefix-sum difference. Sentinel slots
-    # (dead instances, early-exited chunks) gather zero via OOB fill.
-    _, inv_slot = jax.lax.sort((unsorted_k, slot), num_keys=1)
-    # materialize the (S, 9) transpose BEFORE the gather: a fused
-    # transpose-gather reads 9 strided cache lines per row (~3x slower on
-    # TPU than one contiguous 36B row read)
-    dfeat_rows = jax.lax.optimization_barrier(dfeat[:9].T)
-    rows = jnp.take(dfeat_rows, inv_slot, axis=0, mode="fill", fill_value=0.0)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows, axis=0)], axis=0
+    # with ONE key+payload sort and no gather/scatter: the kernel tagged
+    # every written grad column with its gaussian id (GID_ROW; +inf on
+    # dead lanes with zero payloads), so sorting by that key groups every
+    # gaussian's instance gradients contiguously in id order. Region slots
+    # beyond the written area (gaoff[-1]) are unwritten garbage: mask their
+    # keys to +inf — their (garbage) payloads then land past every live
+    # instance where the boundary positions below never reach.
+    live = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < gaoff[-1]
+    key = jnp.where(live, dfeat[GID_ROW], jnp.inf)
+    sorted_ = jax.lax.sort(
+        (key,) + tuple(dfeat[j] for j in range(9)), num_keys=1
     )
-    # gaussian instance ranges are CONTIGUOUS (gauss_start[g+1] ==
-    # gauss_start[g] + gauss_count[g] by construction in binning), so one
-    # boundary gather + adjacent difference replaces two gathers
+    rows = jnp.stack(sorted_[1:], axis=0)  # (9, S) — sublane stack, no relayout
+    csum = jnp.concatenate(
+        [jnp.zeros((9, 1), jnp.float32), jnp.cumsum(rows, axis=1)], axis=1
+    )
+    # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
+    # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
+    # exclusive cumsum of emitted counts, and capacity-dropped instances
+    # (pre-sort slot >= max_instances) are exactly the tail beyond
+    # n_live = offsets[-1], so the min() accounts for them.
     n = gauss_start.shape[0]
     last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
-    pos = jnp.clip(jnp.concatenate([gauss_start, last]), 0, k_ax)
-    at_bounds = csum[pos]  # (N+1, 9) monotone row gather
-    seg = at_bounds[1:] - at_bounds[:-1]  # (N, 9)
+    pos = jnp.minimum(jnp.concatenate([gauss_start, last]), offsets[-1])
+    at_bounds = jnp.take(csum, pos, axis=1)  # (9, N+1) boundary gather
+    seg = (at_bounds[:, 1:] - at_bounds[:, :-1]).T  # (N, 9)
     return (
         seg[:, 0:2],  # d xy
         seg[:, 2:5],  # d conic
@@ -617,7 +629,6 @@ def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
         seg[:, 8],  # d opacity
         None,  # gauss_id
         None,  # offsets
-        None,  # unsorted_k
         None,  # gauss_start
         None,  # gauss_count
     )
@@ -638,7 +649,7 @@ def render_tiles_pallas(
         interpret = jax.default_backend() == "cpu"
     tiles = blend_pallas(
         xy, conic, rgb, op, binning.gauss_id, binning.offsets,
-        binning.unsorted_k, binning.gauss_start, binning.gauss_count,
+        binning.gauss_start, binning.gauss_count,
         grid_x, grid_y, tile, chunk, interpret,
     )
     color = tiles[:, :, 0:3]  # (T, P, 3)

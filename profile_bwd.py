@@ -87,19 +87,20 @@ chunks_done = fwd_out[:, 0, 4].astype(jnp.int32)
 
 
 def reduce_fn(df, i):
-    # mirrors _blend_bwd's reduction exactly (barrier + adjacent-diff)
-    slot = pb.sorted_slot_map(b.offsets, gaoff, chunks_done, CHUNK, K, s_grad)
-    _, inv_slot = jax.lax.sort((b.unsorted_k, slot), num_keys=1)
-    dfeat_rows = jax.lax.optimization_barrier(df[:9].T)
-    rows = jnp.take(dfeat_rows, inv_slot, axis=0, mode="fill", fill_value=0.0)
+    # mirrors _blend_bwd's reduction exactly (gid-key payload sort)
+    s_ax = df.shape[1]
+    live = jnp.arange(s_ax) < gaoff[-1]
+    key = jnp.where(live, df[pb.GID_ROW], jnp.inf)
+    sorted_ = jax.lax.sort((key,) + tuple(df[j] for j in range(9)), num_keys=1)
+    rows = jnp.stack(sorted_[1:], axis=0)
     csum = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows, axis=0)], axis=0
+        [jnp.zeros((9, 1), jnp.float32), jnp.cumsum(rows, axis=1)], axis=1
     )
     n = b.gauss_start.shape[0]
     last = b.gauss_start[n - 1: n] + b.gauss_count[n - 1: n]
-    pos = jnp.clip(jnp.concatenate([b.gauss_start, last]), 0, K)
-    at_bounds = csum[pos]
-    return jnp.mean(at_bounds[1:] - at_bounds[:-1])
+    pos = jnp.minimum(jnp.concatenate([b.gauss_start, last]), b.offsets[-1])
+    at_bounds = jnp.take(csum, pos, axis=1)
+    return jnp.sum(jnp.abs(at_bounds[:, 1:] - at_bounds[:, :-1]))
 
 
 timeit("grad_reduce(sort+cumsum)", reduce_fn, dfeat)

@@ -34,38 +34,6 @@ class TestGradRegionLayout:
         np.testing.assert_array_equal(gaoff, [0, 64, 64, 256, 320])
         assert (gaoff % chunk == 0).all()
 
-    def test_sorted_slot_map(self):
-        offsets = jnp.array([0, 5, 5, 133, 140], jnp.int32)
-        chunk = 64
-        gaoff = pallas_blend.grad_region_offsets(offsets, chunk)
-        k_ax, s_ax = 192, 512
-        done = jnp.array([1, 0, 3, 1], jnp.int32)  # chunks the fwd ran
-        slot = np.asarray(
-            pallas_blend.sorted_slot_map(offsets, gaoff, done, chunk, k_ax, s_ax)
-        )
-        # tile 0: p in [0,5) -> slots [0,5)
-        np.testing.assert_array_equal(slot[0:5], np.arange(0, 5))
-        # tile 2: p in [5,133), superset starts at 0 -> slots 64 + p
-        np.testing.assert_array_equal(slot[5:133], 64 + np.arange(5, 133))
-        # tile 3: p in [133,140), superset starts at 128 -> slots 256 + p-128
-        np.testing.assert_array_equal(slot[133:140], 256 + np.arange(5, 12))
-        # beyond the live range: sentinel
-        assert (slot[140:] == s_ax).all()
-
-    def test_sorted_slot_map_early_exit(self):
-        """Instances in chunks the forward skipped map to the sentinel."""
-        offsets = jnp.array([0, 130], jnp.int32)
-        chunk = 64
-        gaoff = pallas_blend.grad_region_offsets(offsets, chunk)
-        slot = np.asarray(
-            pallas_blend.sorted_slot_map(
-                offsets, gaoff, jnp.array([1], jnp.int32), chunk, 192, 999
-            )
-        )
-        np.testing.assert_array_equal(slot[0:64], np.arange(64))
-        assert (slot[64:] == 999).all()
-
-
 def fake_binning(gid, offsets, n_gauss):
     """Binning tuple for hand-built single-instance-per-gaussian lists
     (each gaussian appears exactly once, already in pre-sort order)."""
@@ -75,7 +43,6 @@ def fake_binning(gid, offsets, n_gauss):
     return binning_ops.Binning(
         gauss_id=gid, tile_id=jnp.zeros(k, jnp.int32), offsets=offsets,
         num_instances=offsets[-1], overflow=jnp.array(False),
-        unsorted_k=jnp.arange(k, dtype=jnp.int32),
         gauss_start=start, gauss_count=count,
     )
 
@@ -199,6 +166,40 @@ class TestPallasGradients:
 
         g = jax.grad(loss)(BG)
         assert np.isfinite(np.asarray(g)).all() and float(g.min()) > 0
+
+
+class TestCapacityOverflow:
+    def test_grad_parity_under_instance_overflow(self):
+        """max_instances below the true duplicate count: both impls truncate
+        the same sorted instance list, gradients must still agree and the
+        dropped tail must not corrupt the segment reduction boundaries."""
+        cam, prep, b_full, gx, gy = setup_scene(n=400, seed=8)
+        total = int(b_full.num_instances)
+        cap = (total // 2 // 64) * 64 + 32  # non-chunk-multiple, forces pad
+        b = binning_ops.bin_gaussians(prep, gx, gy, max_instances=cap)
+        assert bool(b.overflow)
+        inputs = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
+
+        def loss_pallas(xy, conic, rgb, op):
+            c, t = pallas_blend.render_tiles_pallas(
+                xy, conic, rgb, op, b, gx, gy, 32, BG, chunk=64, interpret=True
+            )
+            return jnp.sum(c**2)
+
+        def loss_jnp(xy, conic, rgb, op):
+            c, t = tile_blend.render_tiles_jnp(
+                xy, conic, rgb, op, b.gauss_id, b.offsets, gx, gy, 32, BG,
+                max_per_tile=512,
+            )
+            return jnp.sum(c**2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*inputs)
+        gj = jax.grad(loss_jnp, argnums=(0, 1, 2, 3))(*inputs)
+        for p_, j_, name in zip(gp, gj, ["xy", "conic", "rgb", "op"]):
+            np.testing.assert_allclose(
+                np.asarray(p_), np.asarray(j_), atol=2e-3, rtol=5e-3,
+                err_msg=f"overflow grad mismatch: {name}",
+            )
 
 
 class TestRasterizePallasPath:
