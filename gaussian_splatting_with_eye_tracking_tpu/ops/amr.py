@@ -124,7 +124,7 @@ def fovea_step0(
         means3d, scales, quats, opacities, sh, sh_degree, cam,
         tile=tile, active_mask=active_mask,
     )
-    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances)
+    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances, tile_px=tile)
     counts = b.offsets[1:] - b.offsets[:-1]
     levels = assign_levels(counts, percentiles)
     if gaze_xy is not None:

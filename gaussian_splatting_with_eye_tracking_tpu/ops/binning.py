@@ -37,7 +37,10 @@ class Binning(NamedTuple):
     gauss_count: jnp.ndarray  # (N,) int32 instances emitted per gaussian
 
 
-def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: int) -> Binning:
+def bin_gaussians(
+    prep: Preprocessed, grid_x: int, grid_y: int, max_instances: int,
+    tile_px: int = 32,
+) -> Binning:
     num_tiles = grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
 
@@ -70,21 +73,46 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: i
         rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     else:
         rank = jnp.zeros(n, jnp.int32)
-    attrs = jnp.stack(
-        [
-            excl,
-            prep.rect_min[:, 0],
-            prep.rect_min[:, 1],
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
-            rank,
-        ],
-        axis=1,
-    )  # (N, 5)
-    a = attrs[g]  # (K, 5) single row gather
+    cols = [
+        excl,
+        prep.rect_min[:, 0],
+        prep.rect_min[:, 1],
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+        rank,
+    ]
+    if prep.r_bin is not None:
+        # float columns ride the SAME int32 row gather via bitcast
+        bits = lambda x: jax.lax.bitcast_convert_type(
+            x.astype(jnp.float32), jnp.int32
+        )
+        cols += [bits(prep.means2d[:, 0]), bits(prep.means2d[:, 1]),
+                 bits(prep.r_bin * prep.r_bin)]
+    attrs = jnp.stack(cols, axis=1)  # (N, 5|8)
+    a = attrs[g]  # (K, 5|8) single row gather
     r = k - a[:, 0]  # rank within the gaussian's rect, row-major
     tx = a[:, 1] + r % a[:, 3]
     ty = a[:, 2] + r // a[:, 3]
-    tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles)
+    kept = valid
+    if prep.r_bin is not None:
+        # Tile-distance culling, EXACT w.r.t. the blend output: alpha <
+        # 1/255 everywhere in a tile whose pixel rect lies farther than
+        # r_bin from the center (see projection.py r_alpha derivation), and
+        # such instances are skipped by the blend's alpha gate anyway. The
+        # reference bins the full bounding RECT of the 3-sigma circle
+        # (auxiliary.h getRect) and pays blend cost for corner tiles the
+        # circle never touches; a circle-vs-rect test drops ~20-50% of
+        # instances (pi/4 of big rects, much more for low-opacity or
+        # anisotropic gaussians).
+        unbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        cx = unbits(a[:, 5])
+        cy = unbits(a[:, 6])
+        r2 = unbits(a[:, 7])
+        x0 = (tx * tile_px).astype(jnp.float32)
+        y0 = (ty * tile_px).astype(jnp.float32)
+        ddx = jnp.maximum(jnp.maximum(x0 - cx, cx - (x0 + tile_px - 1)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(y0 - cy, cy - (y0 + tile_px - 1)), 0.0)
+        kept = valid & (ddx * ddx + ddy * ddy <= r2)
+    tile_id = jnp.where(kept, ty * grid_x + tx, num_tiles)
 
     # Lexicographic (tile, depth) ordering == the reference's 64-bit
     # tile<<32|depth radix sort (rasterizer_impl.cu:70-111, 300-308), as a
@@ -106,12 +134,28 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, max_instances: i
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
+    # Per-gaussian LIVE instance counts (distance-culled and capacity-dropped
+    # slots excluded): gaussian g's slots are the contiguous pre-sort range
+    # [excl_g, cum_g) ∩ [0, capacity), so counts come from a cumsum of the
+    # kept mask plus one small (N, 2) gather. These locate each gaussian's
+    # segment boundaries in the backward's sorted-by-id gradient reduction.
+    kc = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(kept.astype(jnp.int32))]
+    )
+    idx = jnp.stack(
+        [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],
+        axis=1,
+    )
+    bounds = kc[idx]  # (N, 2)
+    live_count = bounds[:, 1] - bounds[:, 0]
+    live_start = jnp.cumsum(live_count) - live_count
+
     return Binning(
         gauss_id=gauss_sorted,
         tile_id=tile_sorted,
         offsets=offsets,
-        num_instances=jnp.minimum(total, max_instances),
+        num_instances=kc[-1],
         overflow=overflow,
-        gauss_start=excl,
-        gauss_count=tiles,
+        gauss_start=live_start,
+        gauss_count=live_count,
     )

@@ -352,13 +352,16 @@ def _bwd_kernel(
             suf_ex = _dot(u, suffix_m)  # (P, C)
             S_i = S + suf_ex
 
-            one_m = jnp.maximum(1.0 - alpha, 1e-6)
-            d_alpha = T_i * G_rgb - S_i / one_m
-            d_alpha = jnp.where(keep, d_alpha, 0.0)
-            # clamp gate at 0.99 (matches jnp.minimum vjp of the jnp path)
-            d_araw = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
-
-            d_power_px = d_araw * alpha_raw * jnp.where(power <= 0.0, 1.0, 0.0)
+            # d_alpha folded with its gates in one select: keep already
+            # implies power <= 0 (the vjp gate of min(power, 0)), and om
+            # replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it at
+            # 0.01 (masked lanes have alpha = 0, om = 1). The 0.99 clamp
+            # gate matches the jnp.minimum vjp of the jnp path.
+            d_alpha = T_i * G_rgb - S_i / om
+            d_power_px = (
+                jnp.where(keep & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
+                * alpha_raw
+            )
 
             # All 9 pixel reductions ride the MXU. The geometric gradients
             # expand dx = x_c - px, dy = y_c - py into pixel-coordinate

@@ -47,6 +47,9 @@ class Preprocessed(NamedTuple):
     tiles_touched: jnp.ndarray  # (N,) int32
     rect_min: jnp.ndarray  # (N,2) int32 tile-rect [x,y]
     rect_max: jnp.ndarray  # (N,2) int32 (exclusive)
+    # opacity-aware binning radius (pixels, float32): beyond it alpha
+    # provably fails the 1/255 blend gate. None = skip distance culling.
+    r_bin: Optional[jnp.ndarray] = None
 
 
 def preprocess(
@@ -113,11 +116,32 @@ def preprocess(
     lambda_max = mid + disc
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
-    # Tile rectangle (auxiliary.h getRect).
-    rect_min_x = jnp.clip(((mean_x - radius) / tile).astype(jnp.int32), 0, grid_x)
-    rect_min_y = jnp.clip(((mean_y - radius) / tile).astype(jnp.int32), 0, grid_y)
-    rect_max_x = jnp.clip(((mean_x + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    rect_max_y = jnp.clip(((mean_y + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    # Opacity-aware EXACT extents for tile binning. The set of pixels that
+    # can pass the blend's alpha >= 1/255 gate (forward.cu:344-346) is the
+    # ellipse {d : d^T conic d <= 2 ln(255 op)}; everything outside it
+    # contributes exactly zero color and zero gradient, so tighter binning
+    # is output-identical. Two bounds, both clamped to the reference's
+    # 3-sigma radius (which defines the truncation semantics):
+    #   - per-axis ellipse bbox half-widths sqrt(2 a ln), sqrt(2 c ln) for
+    #     the tile RECT (the reference always bins the full 3-sigma square,
+    #     auxiliary.h getRect, and wastes blend work on tiles an elongated
+    #     or translucent gaussian never reaches);
+    #   - the circumscribed radius sqrt(2 lambda_max ln) for the per-tile
+    #     distance cull in ops/binning.py.
+    # ``radii`` keeps the 3-sigma semantics (densification stats).
+    ln_op = jnp.log(jnp.maximum(255.0 * opacities, 1.0))
+    r_alpha = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * lambda_max * ln_op, 1e-12)))
+    r_bin = jax.lax.stop_gradient(jnp.minimum(radius, r_alpha))
+    ext_x = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * a * ln_op, 1e-12)))
+    ext_y = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * c * ln_op, 1e-12)))
+    ext_x = jax.lax.stop_gradient(jnp.minimum(ext_x, radius))
+    ext_y = jax.lax.stop_gradient(jnp.minimum(ext_y, radius))
+
+    # Tile rectangle (auxiliary.h getRect) over the alpha-aware extents.
+    rect_min_x = jnp.clip(((mean_x - ext_x) / tile).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((mean_y - ext_y) / tile).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(((mean_x + ext_x + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((mean_y + ext_y + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     visible = visible & (tiles_touched > 0)
 
@@ -140,4 +164,5 @@ def preprocess(
         tiles_touched=tiles_touched,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
+        r_bin=r_bin,
     )

@@ -70,7 +70,7 @@ def _rasterize_impl(
     grid_x = -(-width // tile)
     grid_y = -(-height // tile)
 
-    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances)
+    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances, tile_px=tile)
 
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend

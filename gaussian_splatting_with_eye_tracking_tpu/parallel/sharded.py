@@ -78,11 +78,16 @@ def _band_render(
     tiles_touched = (prep.rect_max[:, 0] - prep.rect_min[:, 0]) * (rmax_y - rmin_y)
     tiles_touched = jnp.maximum(tiles_touched, 0)
     local = prep._replace(
+        # band-local means2d: the binning distance cull and the blend
+        # kernels both work in the band's shifted pixel frame
+        means2d=means2d,
         rect_min=jnp.stack([prep.rect_min[:, 0], rmin_y], -1),
         rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
         tiles_touched=tiles_touched.astype(jnp.int32),
     )
-    b = binning_ops.bin_gaussians(local, grid_x, grid_y_local, max_instances_per_band)
+    b = binning_ops.bin_gaussians(
+        local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
+    )
 
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
@@ -171,11 +176,16 @@ def _band_composite_from_prep(
     tiles_touched = (prep.rect_max[:, 0] - prep.rect_min[:, 0]) * (rmax_y - rmin_y)
     tiles_touched = jnp.maximum(tiles_touched, 0)
     local = prep._replace(
+        # band-local means2d: the binning distance cull and the blend
+        # kernels both work in the band's shifted pixel frame
+        means2d=means2d,
         rect_min=jnp.stack([prep.rect_min[:, 0], rmin_y], -1),
         rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
         tiles_touched=tiles_touched.astype(jnp.int32),
     )
-    b = binning_ops.bin_gaussians(local, grid_x, grid_y_local, max_instances_per_band)
+    b = binning_ops.bin_gaussians(
+        local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
+    )
 
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend

@@ -261,7 +261,31 @@ class TestBinning:
         prep = preprocess(means, scales, quats, op, sh, 0, cam)
         b = binning_ops.bin_gaussians(prep, 2, 2, max_instances=4096)
         assert not bool(b.overflow)
-        assert int(b.num_instances) == int(jnp.sum(prep.tiles_touched))
+        # oracle for the distance cull: of every (gaussian, tile-in-rect)
+        # pair, exactly those whose tile pixel rect is within r_bin of the
+        # center survive (the rest provably fail the alpha >= 1/255 gate)
+        rmin = np.asarray(prep.rect_min)
+        rmax = np.asarray(prep.rect_max)
+        xy = np.asarray(prep.means2d)
+        r2 = np.asarray(prep.r_bin) ** 2
+        expected = 0
+        per_gauss = []
+        for i in range(xy.shape[0]):
+            cnt = 0
+            for ty in range(rmin[i, 1], rmax[i, 1]):
+                for tx in range(rmin[i, 0], rmax[i, 0]):
+                    x0, y0 = tx * 32.0, ty * 32.0
+                    ddx = max(x0 - xy[i, 0], xy[i, 0] - (x0 + 31.0), 0.0)
+                    ddy = max(y0 - xy[i, 1], xy[i, 1] - (y0 + 31.0), 0.0)
+                    cnt += ddx * ddx + ddy * ddy <= r2[i]
+            per_gauss.append(cnt)
+            expected += cnt
+        assert int(b.num_instances) == expected
+        assert int(b.num_instances) <= int(jnp.sum(prep.tiles_touched))
+        np.testing.assert_array_equal(np.asarray(b.gauss_count), per_gauss)
+        np.testing.assert_array_equal(
+            np.asarray(b.gauss_start), np.cumsum([0] + per_gauss[:-1])
+        )
         # offsets are monotone CSR covering exactly num_instances
         off = np.asarray(b.offsets)
         assert (np.diff(off) >= 0).all()
