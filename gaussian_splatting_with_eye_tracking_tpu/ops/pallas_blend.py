@@ -8,13 +8,16 @@ TPU-native re-design of the CUDA render kernels
   atomicAdd in backward.
 - TPU: grid = tile list, one program per 32x32 tile. Layout (validated on
   hardware): PIXELS on sublanes (P=1024 rows), INSTANCES on lanes (CHUNK=128
-  columns). The tile's instance list is processed in chunks; each chunk
-  computes a (P, C) alpha matrix on the VPU and carries transmittance in
-  LOG space: the sequential front-to-back recurrence becomes exclusive
-  prefix sums of log(1-alpha) computed on the MXU (one (P,C)@(C,C) matmul
-  against a 0/1 triangular matrix — measured faster than a 7-step
-  log-doubling shift chain on the VPU, since exp/log ride the near-free
-  special-function pipeline while lane shifts are full-rate VPU passes).
+  columns; 256 measured WORSE on both kernels — coarser early-exit wastes
+  instances in saturated tiles, and the backward's doubled VMEM buffers
+  blow the 16MB scoped limit). The tile's instance list is processed in
+  chunks; each chunk computes a (P, C) alpha matrix on the VPU and carries
+  transmittance in LOG space: the sequential front-to-back recurrence
+  becomes exclusive prefix sums of log(1-alpha) computed on the MXU in
+  <=128-wide blocks with a running carry (_prefix_scan; a 0/1 triangular
+  matrix per block — measured faster than a 7-step log-doubling shift
+  chain on the VPU, since exp/log ride the near-free special-function
+  pipeline while lane shifts are full-rate VPU passes).
   Color accumulates with (P,C)@(C,3) lane contractions. Instance chunks
   stream from HBM with double-buffered async DMA in a struct-of-arrays
   (FEAT, K) layout. Chunk-level early exit replaces the CUDA per-pixel
@@ -39,9 +42,7 @@ TPU-native re-design of the CUDA render kernels
   GAUSSIAN ID (grad row 9, +inf for dead lanes), so one
   `lax.sort(id, 9 grad rows)` groups each gaussian's instance gradients
   contiguously, and a cumsum + boundary difference finishes the segment
-  reduction. No gather or scatter anywhere: on TPU an XLA row-gather
-  costs ~20 ns/row (47 ms at 2M instances) while a 9-payload sort of the
-  same size is ~4 ms.
+  reduction (see _blend_bwd for measured alternatives).
 
 Feature rows in the SoA array: [x, y, conic_a, conic_b, conic_c, r, g, b,
 opacity, gauss_id, <6 pad>] (FEAT=16 rows). On hardware, CHUNK must be a
@@ -64,7 +65,8 @@ ALPHA_MAX = 0.99
 T_MIN = 1e-4
 LOG_T_MIN = math.log(1e-4)
 
-FEAT = 16  # SoA rows (10 used, padded to a sublane-friendly 16)
+FEAT = 16  # SoA rows (10 used; Mosaic requires HBM-slice sublane dims to be
+# multiples of 8, so 12 is not expressible as a DMA block)
 GID_ROW = 9  # feature/grad row carrying the gaussian id (f32-exact < 2^24)
 OUTC = 8  # output columns per pixel: r, g, b, final_T, chunks_done, pad
 
@@ -120,6 +122,46 @@ def _dot_sub(a, b):
         a, b, (((0,), (0,)), ((), ())), precision=_EXACT,
         preferred_element_type=jnp.float32,
     )
+
+
+_SCAN_BLK = 128  # lane width of one MXU scan matmul
+
+
+def _prefix_scan(x, m128, blk):
+    """Per-lane EXCLUSIVE prefix sums of x (P, C) plus the full-row total
+    (P, 1). For C > blk the scan runs hierarchically in blk-wide MXU blocks
+    with a running carry: per-instance matmul cost stays P*blk instead of
+    P*C, which is what makes 256-wide DMA chunks (half the loop/DMA-wait
+    overhead) affordable."""
+    c = x.shape[1]
+    if c <= blk:
+        s = _dot_exactrhs(x, m128)
+        return s, s[:, -1:] + x[:, -1:]
+    parts = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for i in range(c // blk):
+        xb = x[:, i * blk:(i + 1) * blk]
+        s = _dot_exactrhs(xb, m128)
+        parts.append(s + carry)
+        carry = carry + (s[:, -1:] + xb[:, -1:])
+    return jnp.concatenate(parts, axis=1), carry
+
+
+def _suffix_scan(x, m128, blk):
+    """Per-lane EXCLUSIVE suffix sums of x (P, C) plus the full-row total,
+    hierarchical like _prefix_scan but right-to-left."""
+    c = x.shape[1]
+    if c <= blk:
+        s = _dot_exactrhs(x, m128)
+        return s, s[:, 0:1] + x[:, 0:1]
+    parts = [None] * (c // blk)
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for i in reversed(range(c // blk)):
+        xb = x[:, i * blk:(i + 1) * blk]
+        s = _dot_exactrhs(xb, m128)
+        parts[i] = s + carry
+        carry = carry + (s[:, 0:1] + xb[:, 0:1])
+    return jnp.concatenate(parts, axis=1), carry
 
 
 def _alpha_terms(f, px, py, ids, lo, hi):
@@ -203,7 +245,8 @@ def _fwd_kernel(
     start = (o // chunk) * chunk  # aligned superset start
     n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
     px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
-    prefix_m = _prefix_excl_matrix(chunk)  # loop-invariant, hoisted
+    blk = min(chunk, _SCAN_BLK)
+    prefix_m = _prefix_excl_matrix(blk)  # loop-invariant, hoisted
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -238,12 +281,12 @@ def _fwd_kernel(
         # saturated tiles (which would zero the backward reconstruction).
         om = 1.0 - alpha  # (P, C)
         lom = jnp.log(om)  # alpha <= 0.99 keeps this finite
-        s = _dot_exactrhs(lom, prefix_m)  # (P, C) exclusive prefix log-sums
+        s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix log-sums
         w = alpha * jnp.exp(logT + s)  # (P, C) blend weights
         # color accumulation on the MXU: contract lanes of w with the
         # chunk's rgb rows -> (P, 3)
         rgb_acc = rgb_acc + _dot_lanes(w, f[5:8, :])
-        logT = logT + s[:, -1:] + lom[:, -1:]  # full-chunk log-product
+        logT = logT + tot  # full-chunk log-product (same grouping as bwd)
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
 
@@ -328,8 +371,9 @@ def _bwd_kernel(
     oy = ((t // grid_x) * tile).astype(jnp.float32)
     moment_m = _moment_matrix(px - ox, py - oy, pixels)  # (P, 6)
     cot_m = jnp.concatenate([gr, gg, gb], axis=1)  # (P, 3)
-    prefix_m = _prefix_excl_matrix(chunk)
-    suffix_m = _suffix_excl_matrix(chunk)
+    blk = min(chunk, _SCAN_BLK)
+    prefix_m = _prefix_excl_matrix(blk)
+    suffix_m = _suffix_excl_matrix(blk)
 
     def body(i, carry):
         ci = n_chunks - 1 - i  # back-to-front (backward.cu:441-556)
@@ -364,8 +408,8 @@ def _bwd_kernel(
             # identical MXU prefix sums and subtract the identical total.
             om = 1.0 - alpha
             lom = jnp.log(om)
-            s = _dot_exactrhs(lom, prefix_m)  # (P, C) excl. prefix log-sums
-            logT_before = logT_after - (s[:, -1:] + lom[:, -1:])
+            s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix
+            logT_before = logT_after - tot
             T_i = jnp.exp(logT_before + s)  # (P, C)
             w = alpha * T_i  # (P, C)
 
@@ -374,7 +418,7 @@ def _bwd_kernel(
             u = G_rgb * w
             # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
             # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
-            suf_ex = _dot_exactrhs(u, suffix_m)  # (P, C)
+            suf_ex, suf_tot = _suffix_scan(u, suffix_m, blk)  # (P, C)
             S_i = S + suf_ex
 
             # d_alpha folded with its gates in one select: keep already
@@ -420,7 +464,7 @@ def _bwd_kernel(
             dbuf[slot, 5:8, :] = wmom
             dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
 
-            S_new = S + suf_ex[:, 0:1] + u[:, 0:1]  # full-chunk sum, no reduce
+            S_new = S + suf_tot  # full-chunk sum, no extra reduce
             return logT_before, S_new
 
         def skipped(carry):
@@ -578,7 +622,12 @@ def blend_pallas(
     gauss_id/offsets: depth-sorted CSR instance list (ops/binning.py).
     gauss_start/gauss_count (N,): each gaussian's contiguous pre-sort
     instance range — they locate the per-gaussian segment boundaries of the
-    sorted gradient reduction."""
+    sorted gradient reduction.
+
+    (Measured dead end: building the sorted feature SoA by carrying the
+    features through binning's lax.sort as extra payloads — ~free as a
+    microbenchmark — cost +38 ms in the full jitted step; the explicit
+    (K, FEAT) row gather below stays.)"""
     out, _ = _blend_fwd(
         xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
         grid_x, grid_y, tile, chunk, interpret,
@@ -610,6 +659,11 @@ def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
     # beyond the written area (gaoff[-1]) are unwritten garbage: mask their
     # keys to +inf — their (garbage) payloads then land past every live
     # instance where the boundary positions below never reach.
+    # (Measured in-context alternatives at 1080p/1.5M instances, both
+    # SLOWER despite winning as microbenchmarks: a query-marker two-sort
+    # reduction +21 ms, a (S, 9) sublane-major cumsum + row gather +2 ms —
+    # XLA fusion behaves differently inside the full backward graph, so
+    # keep the lane-major cumsum + column take.)
     live = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < gaoff[-1]
     key = jnp.where(live, dfeat[GID_ROW], jnp.inf)
     sorted_ = jax.lax.sort(

@@ -34,6 +34,54 @@ class TestGradRegionLayout:
         np.testing.assert_array_equal(gaoff, [0, 64, 64, 256, 320])
         assert (gaoff % chunk == 0).all()
 
+class TestHierarchicalScan:
+    """The chunk=256 hardware path runs the MXU scans in 128-wide blocks
+    with a running carry (_prefix_scan/_suffix_scan); check both against
+    plain cumsums and the end-to-end kernels across the 128 boundary."""
+
+    def test_scan_helpers_match_cumsum(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 256), jnp.float32)
+        m = pallas_blend._prefix_excl_matrix(128)
+        s, tot = pallas_blend._prefix_scan(x, m, 128)
+        want = jnp.cumsum(x, axis=1) - x
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(tot[:, 0]), np.asarray(jnp.sum(x, axis=1)), atol=2e-4)
+        ms = pallas_blend._suffix_excl_matrix(128)
+        s2, tot2 = pallas_blend._suffix_scan(x, ms, 128)
+        want2 = (jnp.cumsum(x[:, ::-1], axis=1) - x[:, ::-1])[:, ::-1]
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(want2), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(tot2[:, 0]), np.asarray(jnp.sum(x, axis=1)), atol=2e-4)
+
+    def test_fwd_grad_parity_chunk256(self):
+        cam, prep, b, gx, gy = setup_scene(n=900)
+        args = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
+        want_c, _ = tile_blend.render_tiles_jnp(
+            *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=2048
+        )
+        got_c, _ = pallas_blend.render_tiles_pallas(
+            *args, b, gx, gy, 32, BG, chunk=256, interpret=True
+        )
+        np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
+
+        def loss_p(xy):
+            c, _ = pallas_blend.render_tiles_pallas(
+                xy, *args[1:], b, gx, gy, 32, BG, chunk=256, interpret=True)
+            return jnp.mean(c ** 2)
+
+        def loss_j(xy):
+            c, _ = tile_blend.render_tiles_jnp(
+                xy, *args[1:], b.gauss_id, b.offsets, gx, gy, 32, BG,
+                max_per_tile=2048)
+            return jnp.mean(c ** 2)
+
+        gp = jax.grad(loss_p)(prep.means2d)
+        gj = jax.grad(loss_j)(prep.means2d)
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gj), atol=2e-3, rtol=5e-3)
+
+
 def fake_binning(gid, offsets, n_gauss):
     """Binning tuple for hand-built single-instance-per-gaussian lists
     (each gaussian appears exactly once, already in pre-sort order)."""
