@@ -43,11 +43,23 @@ def main():
     )
     bg = jnp.zeros(3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    kw = dict(sh_degree=3, max_instances=1 << 21, max_per_tile=2048, impl=impl)
+    # Capacity sized to the workload like the reference, which allocates its
+    # instance buffers at exactly num_rendered each frame via resize closures
+    # (rasterize_points.cu:26-33): this scene emits 1,500,672 instances;
+    # 1.57M leaves ~5% margin and the overflow flag is asserted below.
+    kw = dict(sh_degree=3, max_instances=(1 << 20) + (1 << 19),
+              max_per_tile=2048, impl=impl)
 
     def loss(m):
         out = rast.rasterize(m, scales, quats, op, sh, cam, bg, **kw)
         return jnp.mean(out.color ** 2)
+
+    # capacity sanity: the measured run must not drop instances
+    probe = rast.rasterize(means, scales, quats, op, sh, cam, bg, **kw)
+    assert not bool(probe.overflow), (
+        f"instance capacity overflow: {int(probe.num_instances)} > "
+        f"{kw['max_instances']}; raise max_instances"
+    )
 
     grad1 = jax.grad(loss)
 
