@@ -83,8 +83,9 @@ class RasterizeConfig:
     # CUDA reference sizes this exactly per frame via cub prefix sum
     # (rasterizer_impl.cu:277-281); XLA needs a static bound, so we bucket.
     max_instances: int = 1 << 20
-    # Instances processed per VMEM chunk inside the Pallas tile kernel.
-    chunk: int = 256
+    # Instances processed per VMEM chunk inside the Pallas tile kernel
+    # (128 = DMA lane alignment; 256 measured slower, see ops/pallas_blend.py).
+    chunk: int = 128
     # Compositing cutoffs (forward.cu:343-351)
     alpha_min: float = 1.0 / 255.0
     alpha_max: float = 0.99

@@ -73,3 +73,31 @@ class TestTrainCLI:
         with open(os.path.join(model_path, "per_view.json")) as f:
             pv = json.load(f)
         assert "00000.png" in pv["ours_30"]["PSNR"]
+
+
+class TestAdaptiveCapacity:
+    def test_overflow_grows_and_redoes(self, tmp_path):
+        """Start with a deliberately tiny instance capacity: the first step
+        overflows, training must grow the capacity bucket and redo the step
+        (no truncated-gradient updates), and finish with finite params."""
+        root = make_colmap_scene(str(tmp_path / "scene"), n_cams=4, n_pts=150)
+        model_path = str(tmp_path / "model")
+        import train as train_cli
+        from gaussian_splatting_with_eye_tracking_tpu.config import (
+            ModelConfig, OptimizationConfig, PipelineConfig,
+        )
+
+        cfg = ModelConfig(source_path=root, model_path=model_path)
+        opt = OptimizationConfig(iterations=6, densify_from_iter=100)
+        train_cli.training(
+            cfg, opt, PipelineConfig(), testing_iterations=[],
+            saving_iterations=[6], checkpoint_iterations=[], start_checkpoint=None,
+            quiet=True, instance_capacity=64, capacity_bucket=64,
+        )
+        import numpy as np
+        from gaussian_splatting_with_eye_tracking_tpu.models import ply_io
+
+        ply = os.path.join(model_path, "point_cloud", "iteration_6", "point_cloud.ply")
+        assert os.path.exists(ply)
+        params, _ = ply_io.load_gaussians_ply(ply)
+        assert np.isfinite(params.xyz).all()

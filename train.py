@@ -21,6 +21,7 @@ from gaussian_splatting_with_eye_tracking_tpu.config import (
     ModelConfig,
     OptimizationConfig,
     PipelineConfig,
+    RasterizeConfig,
     add_config_args,
     extract_config,
     save_cfg_args,
@@ -42,6 +43,8 @@ def training(
     quiet=False,
     gui=None,
     random_order_seed=0,
+    instance_capacity=None,
+    capacity_bucket=1 << 17,
 ):
     if not cfg.model_path:
         cfg.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
@@ -58,16 +61,35 @@ def training(
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
     cams = scene.get_train_cameras()
-    # one jitted step per distinct resolution
+    # one jitted step per distinct (resolution, instance-capacity) pair
     steps = {}
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
+    # Adaptive instance capacity (the reference allocates its duplicate-
+    # instance buffers at exactly num_rendered per frame via resize
+    # closures, rasterize_points.cu:26-33; XLA needs static shapes, so we
+    # bucket and recompile on growth). Oversized capacity is pure waste:
+    # the binning sort, feature gather, and gradient reduction all scale
+    # with it (~20% of step time at 1080p for a 40% oversize). Undersized
+    # capacity silently truncates the render, so overflowed steps are
+    # REDONE at the grown capacity (the step is pure state -> state).
+    cap_bucket = capacity_bucket
+    cap = max(instance_capacity or RasterizeConfig().max_instances, cap_bucket)
+    shrink_streak = 0
+
+    def _grow(above):
+        c = cap_bucket
+        while c <= above:
+            c += max(cap_bucket, c // 2)  # ~x1.5 steps on bucket grid
+        return -(-c // cap_bucket) * cap_bucket
+
     def step_for(cam):
-        key = (cam.width, cam.height)
+        key = (cam.width, cam.height, cap)
         if key not in steps:
             steps[key] = train_lib.make_train_step(
                 tx, opt, max_sh_degree=scene.max_sh_degree,
                 width=cam.width, height=cam.height, impl=impl,
+                max_instances=cap,
             )
         return steps[key]
 
@@ -89,13 +111,33 @@ def training(
         densify_phase = (
             iteration < opt.densify_until_iter and iteration >= opt.densify_from_iter
         )
-        state, aux = step_for(cam)(
-            state, *train_lib.camera_arrays(cam.params()), cam.gt(), bg,
+        step_args = (
+            *train_lib.camera_arrays(cam.params()), cam.gt(), bg,
             iteration < opt.densify_until_iter,
         )
+        prev_state = state
+        state, aux = step_for(cam)(state, *step_args)
 
         if bool(aux.overflow):
-            print(f"[it {iteration}] WARNING: instance-capacity overflow (truncated render)")
+            # grow capacity and REDO from the pre-step state: an overflowed
+            # step rendered (and differentiated) a truncated instance list
+            cap = _grow(max(int(aux.num_instances), cap))
+            shrink_streak = 0
+            if not quiet:
+                print(f"[it {iteration}] instance capacity -> {cap} (overflow redo)")
+            state, aux = step_for(cam)(prev_state, *step_args)
+        else:
+            ni = int(aux.num_instances)
+            if ni > 0.9 * cap:
+                cap = _grow(max(int(ni * 1.3), cap))  # grow ahead of overflow
+                shrink_streak = 0
+            elif ni < 0.35 * cap and cap > cap_bucket:
+                shrink_streak += 1
+                if shrink_streak >= 200:  # sustained headroom: shed the waste
+                    cap = _grow(int(ni * 1.6))
+                    shrink_streak = 0
+            else:
+                shrink_streak = 0
 
         # density control (reference train.py:110-120)
         if iteration < opt.densify_until_iter:
