@@ -167,8 +167,13 @@ def _suffix_scan(x, m128, blk):
 def _alpha_terms(f, px, py, ids, lo, hi):
     """Shared recompute: SoA chunk (FEAT, C) -> alpha (P, C) and friends.
     Same math as the CUDA forward inner loop (forward.cu:330-343). Measured
-    on hardware, the direct VPU evaluation beats an MXU moment-expansion of
-    the quadratic. ``ids`` are global instance slots; only [lo, hi) belongs
+    on hardware (twice — re-validated with split-bf16 precision and
+    tile-local coefficients): the direct VPU evaluation beats an MXU
+    moment-expansion of the quadratic (fwd kernel 33 -> 38 ms with a 5-pass
+    (P,6)@(6,C) expansion; the skinny K=6 matmuls pay Mosaic layout/latency
+    costs that swamp the ~10 saved VPU passes, and 2-limb coefficient
+    splits additionally lose 2e-3 of color accuracy near tile edges).
+    ``ids`` are global instance slots; only [lo, hi) belongs
     to this tile (superset chunks overlap neighboring tiles' slots)."""
     ca = f[2:3, :]
     cb = f[3:4, :]
