@@ -93,6 +93,20 @@ def _rasterize_impl(
     )
 
 
+@jax.jit
+def mark_visible(means3d: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
+    """Coarse frustum containment test: (N,) bool, True where the point's
+    view-space depth exceeds the near plane.
+
+    Reference: ``_C.mark_visible`` / ``Rasterizer::markVisible``
+    (ext.cpp:19, rasterizer_impl.cu:141-153) whose ``in_frustum``
+    (auxiliary.h:139-164) reduces to ``p_view.z > 0.2`` — the screen-bound
+    test is commented out there, and the projmatrix argument is unused.
+    """
+    p_view_z = means3d @ viewmatrix[2, :3] + viewmatrix[2, 3]
+    return p_view_z > 0.2
+
+
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,

@@ -327,3 +327,33 @@ class TestBinning:
         prep = preprocess(means, scales, quats, op, sh, 0, cam)
         b = binning_ops.bin_gaussians(prep, 2, 2, max_instances=8)
         assert bool(b.overflow)
+
+
+class TestMarkVisible:
+    def test_matches_view_depth(self):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
+
+        cam = make_camera(64, 64, cam_z=-5.0)
+        # points straddling the near plane: view depth = world z + 5
+        means = jnp.asarray(
+            np.array(
+                [[0, 0, -4.9], [0, 0, -4.81], [0, 0, -4.79], [0, 0, 0.0],
+                 [3, -2, 10.0], [0, 0, -6.0]],
+                np.float32,
+            )
+        )
+        vis = np.asarray(rast.mark_visible(means, cam.viewmatrix))
+        # in_frustum (auxiliary.h:154): visible iff view z > 0.2
+        expected = np.array([False, False, True, True, True, False])
+        np.testing.assert_array_equal(vis, expected)
+
+    def test_consistent_with_preprocess_cull(self):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
+
+        cam = make_camera(64, 64)
+        means, scales, quats, op, sh = make_random_gaussians(300, seed=5)
+        vis = np.asarray(rast.mark_visible(means, cam.viewmatrix))
+        prep = preprocess(means, scales, quats, op, sh, 0, cam)
+        # anything preprocess kept must be mark_visible (the converse can
+        # fail: preprocess additionally culls off-screen / zero-area)
+        assert np.all(vis[np.asarray(prep.radii) > 0])
