@@ -43,11 +43,14 @@ def main():
     )
     bg = jnp.zeros(3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    # Capacity sized to the workload like the reference, which allocates its
-    # instance buffers at exactly num_rendered each frame via resize closures
-    # (rasterize_points.cu:26-33): this scene emits 1,500,672 instances;
-    # 1.57M leaves ~5% margin and the overflow flag is asserted below.
-    kw = dict(sh_degree=3, max_instances=(1 << 20) + (1 << 19),
+    # Capacities sized to the workload like the reference, which allocates
+    # its instance buffers at exactly num_rendered each frame via resize
+    # closures (rasterize_points.cu:26-33): this scene enumerates 1,543,368
+    # rect pairs of which 1,362,850 survive the exact ellipse-vs-tile cull;
+    # 1.63M/1.44M leave ~5% margin and the overflow flag (covering both)
+    # is asserted below.
+    kw = dict(sh_degree=3, max_instances=(1 << 20) + (1 << 19) + (1 << 16),
+              max_live=(1 << 20) + (1 << 18) + (1 << 17),
               max_per_tile=2048, impl=impl)
 
     def loss(m):

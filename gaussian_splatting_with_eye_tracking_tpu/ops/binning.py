@@ -31,16 +31,27 @@ class Binning(NamedTuple):
     gauss_id: jnp.ndarray  # (K,) int32, gaussian index per instance (sorted)
     tile_id: jnp.ndarray  # (K,) int32, sentinel num_tiles for padding
     offsets: jnp.ndarray  # (num_tiles+1,) int32 CSR offsets into the K axis
-    num_instances: jnp.ndarray  # () int32, true duplicate count
-    overflow: jnp.ndarray  # () bool, true count exceeded capacity
+    num_instances: jnp.ndarray  # () int32, live (culled) duplicate count
+    num_enumerated: jnp.ndarray  # () int32, rect pairs before the ellipse cull
+    overflow: jnp.ndarray  # () bool, either capacity exceeded
     gauss_start: jnp.ndarray  # (N,) int32 pre-sort start of gaussian's instances
     gauss_count: jnp.ndarray  # (N,) int32 instances emitted per gaussian
 
 
 def bin_gaussians(
     prep: Preprocessed, grid_x: int, grid_y: int, max_instances: int,
-    tile_px: int = 32,
+    tile_px: int = 32, max_live: int | None = None,
 ) -> Binning:
+    """``max_instances`` bounds the rect ENUMERATION (every gaussian x
+    tile-in-rect pair, the reference's num_rendered before any culling);
+    ``max_live`` bounds the ellipse-culled instances that survive into the
+    sorted list every downstream stage (feature gather, blend kernels,
+    gradient reduction) operates on. Culled slots sort past the live prefix
+    (sentinel tile id), so truncating the sorted list to max_live is exact;
+    sizing max_live to the workload shrinks all downstream costs."""
+    if max_live is None:
+        max_live = max_instances
+    max_live = min(max_live, max_instances)
     num_tiles = grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
 
@@ -80,38 +91,70 @@ def bin_gaussians(
         jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
         rank,
     ]
-    if prep.r_bin is not None:
+    if prep.cull_thr is not None:
         # float columns ride the SAME int32 row gather via bitcast
         bits = lambda x: jax.lax.bitcast_convert_type(
             x.astype(jnp.float32), jnp.int32
         )
         cols += [bits(prep.means2d[:, 0]), bits(prep.means2d[:, 1]),
-                 bits(prep.r_bin * prep.r_bin)]
-    attrs = jnp.stack(cols, axis=1)  # (N, 5|8)
-    a = attrs[g]  # (K, 5|8) single row gather
+                 bits(prep.conics[:, 0]), bits(prep.conics[:, 1]),
+                 bits(prep.conics[:, 2]), bits(prep.cull_thr)]
+    attrs = jnp.stack(cols, axis=1)  # (N, 5|11)
+    a = attrs[g]  # (K, 5|11) single row gather
     r = k - a[:, 0]  # rank within the gaussian's rect, row-major
     tx = a[:, 1] + r % a[:, 3]
     ty = a[:, 2] + r // a[:, 3]
     kept = valid
-    if prep.r_bin is not None:
-        # Tile-distance culling, EXACT w.r.t. the blend output: alpha <
-        # 1/255 everywhere in a tile whose pixel rect lies farther than
-        # r_bin from the center (see projection.py r_alpha derivation), and
-        # such instances are skipped by the blend's alpha gate anyway. The
-        # reference bins the full bounding RECT of the 3-sigma circle
-        # (auxiliary.h getRect) and pays blend cost for corner tiles the
-        # circle never touches; a circle-vs-rect test drops ~20-50% of
-        # instances (pi/4 of big rects, much more for low-opacity or
-        # anisotropic gaussians).
+    if prep.cull_thr is not None:
+        # Per-tile ellipse culling, EXACT w.r.t. the blend output: the blend
+        # gates on alpha = op*exp(-q) >= 1/255 (forward.cu:344-346) with
+        # q = 0.5*(ca dx^2 + cc dy^2) + cb dx dy, so a tile whose whole
+        # pixel rect has q > cull_thr = ln(255 op) contributes zero color
+        # AND zero gradient. q is convex, so its minimum over the rect is
+        # either 0 (center inside) or attained on one of the 4 edges, each
+        # a clamped 1D quadratic minimization. The reference bins the full
+        # bounding RECT of the 3-sigma box (auxiliary.h getRect) and pays
+        # blend cost for tiles the alpha-ellipse never touches; vs the
+        # previous circumscribed-circle test this is strictly tighter for
+        # anisotropic or translucent gaussians.
         unbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         cx = unbits(a[:, 5])
         cy = unbits(a[:, 6])
-        r2 = unbits(a[:, 7])
-        x0 = (tx * tile_px).astype(jnp.float32)
-        y0 = (ty * tile_px).astype(jnp.float32)
-        ddx = jnp.maximum(jnp.maximum(x0 - cx, cx - (x0 + tile_px - 1)), 0.0)
-        ddy = jnp.maximum(jnp.maximum(y0 - cy, cy - (y0 + tile_px - 1)), 0.0)
-        kept = valid & (ddx * ddx + ddy * ddy <= r2)
+        ca = unbits(a[:, 7])
+        cb = unbits(a[:, 8])
+        cc = unbits(a[:, 9])
+        thr = unbits(a[:, 10])
+        x0 = (tx * tile_px).astype(jnp.float32) - cx  # rect in center frame
+        y0 = (ty * tile_px).astype(jnp.float32) - cy
+        x1 = x0 + (tile_px - 1)
+        y1 = y0 + (tile_px - 1)
+
+        def q_at(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        # edge dx = e: dq/ddy = cc dy + cb e = 0 -> dy* = -cb e / cc
+        cc_s = jnp.where(cc > 1e-12, cc, 1e-12)
+        ca_s = jnp.where(ca > 1e-12, ca, 1e-12)
+        dy_l = jnp.clip(-cb * x0 / cc_s, y0, y1)
+        dy_r = jnp.clip(-cb * x1 / cc_s, y0, y1)
+        dx_b = jnp.clip(-cb * y0 / ca_s, x0, x1)
+        dx_t = jnp.clip(-cb * y1 / ca_s, x0, x1)
+        q_edges = jnp.minimum(
+            jnp.minimum(q_at(x0, dy_l), q_at(x1, dy_r)),
+            jnp.minimum(q_at(dx_b, y0), q_at(dx_t, y1)),
+        )
+        # corners guard the (numerically impossible, but cheap to cover)
+        # non-PSD case where a 1D edge restriction is concave and the
+        # clamped stationary point is its max rather than min
+        q_corners = jnp.minimum(
+            jnp.minimum(q_at(x0, y0), q_at(x1, y0)),
+            jnp.minimum(q_at(x0, y1), q_at(x1, y1)),
+        )
+        inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+        qmin = jnp.where(inside, 0.0, jnp.minimum(q_edges, q_corners))
+        # 1e-4 slack absorbs f32 rounding of the edge minimizers so a
+        # borderline pixel can never be culled while the blend keeps it
+        kept = valid & (qmin <= thr + 1e-4)
     tile_id = jnp.where(kept, ty * grid_x + tx, num_tiles)
 
     # Lexicographic (tile, depth) ordering == the reference's 64-bit
@@ -126,6 +169,12 @@ def bin_gaussians(
         tile_sorted, _, gauss_sorted = jax.lax.sort(
             (tile_id, depth, g), num_keys=2, is_stable=True
         )
+    # culled + capacity-dropped slots carry the sentinel tile and sorted to
+    # the back: everything past max_live is provably dead, truncate it away
+    n_live_total = jnp.sum(kept.astype(jnp.int32))
+    overflow = overflow | (n_live_total > max_live)
+    tile_sorted = tile_sorted[:max_live]
+    gauss_sorted = gauss_sorted[:max_live]
 
     # Per-tile [start, end) ranges (identifyTileRanges,
     # rasterizer_impl.cu:116-138) as CSR offsets: O(T log K) binary search
@@ -155,6 +204,7 @@ def bin_gaussians(
         tile_id=tile_sorted,
         offsets=offsets,
         num_instances=kc[-1],
+        num_enumerated=total,
         overflow=overflow,
         gauss_start=live_start,
         gauss_count=live_count,

@@ -97,6 +97,30 @@ def _dot_exactrhs(a, m_bf):
             + jax.lax.dot_general(lo, m_bf, dn, **kw))
 
 
+def _dot3(a, b, dn):
+    """3-pass split-bf16 matmul for two INEXACT f32 operands: hh + hl + lh
+    (the dropped lo*lo term is ~2^-34 relative). ~2^-22 accuracy at half the
+    MXU passes of Precision.HIGHEST's 6; used where there is no catastrophic
+    cancellation downstream (color accumulation, cotangent-weighted sums —
+    NOT the pixel-coordinate moment matrix, see _bwd_kernel)."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    kw = dict(preferred_element_type=jnp.float32)
+    return (jax.lax.dot_general(ah, bh, dn, **kw)
+            + jax.lax.dot_general(ah, bl, dn, **kw)
+            + jax.lax.dot_general(al, bh, dn, **kw))
+
+
+def _dot3_lanes(a, b):
+    """3-limb version of _dot_lanes: contract lane axes, (P,C)x(Q,C)->(P,Q)."""
+    return _dot3(a, b, (((1,), (1,)), ((), ())))
+
+
+def _dot3_sub(a, b):
+    """3-limb version of _dot_sub: contract sublane axes, (P,Q)x(P,C)->(Q,C)."""
+    return _dot3(a, b, (((0,), (0,)), ((), ())))
+
+
 
 
 def _dot(a, b):
@@ -175,14 +199,21 @@ def _alpha_terms(f, px, py, ids, lo, hi):
     splits additionally lose 2e-3 of color accuracy near tile edges).
     ``ids`` are global instance slots; only [lo, hi) belongs
     to this tile (superset chunks overlap neighboring tiles' slots)."""
-    ca = f[2:3, :]
-    cb = f[3:4, :]
-    cc = f[4:5, :]
+    # per-instance (1, C) constants are one-sublane ops, ~free next to the
+    # (P, C) passes they feed; the FMA-chained form below evaluates the
+    # quadratic in 7 full (P, C) passes vs ~10 for the naive expansion
+    hca = -0.5 * f[2:3, :]
+    ncb = -f[3:4, :]
+    hcc = -0.5 * f[4:5, :]
     op = f[8:9, :]
     dx = f[0:1, :] - px  # (P, C)
     dy = f[1:2, :] - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    g = jnp.exp(jnp.minimum(power, 0.0))
+    # power = -0.5 ca dx^2 - cb dx dy - 0.5 cc dy^2, FMA-chained
+    power = (hca * dx + ncb * dy) * dx + (hcc * dy) * dy
+    # no min(power, 0) before exp: `keep` already gates power > 0 lanes
+    # (the reference skips those pixels, forward.cu:337-340), and any
+    # overflow to +inf dies in the final select
+    g = jnp.exp(power)
     alpha_raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
     valid = (ids >= lo) & (ids < hi)  # (1, C)
@@ -289,8 +320,9 @@ def _fwd_kernel(
         s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix log-sums
         w = alpha * jnp.exp(logT + s)  # (P, C) blend weights
         # color accumulation on the MXU: contract lanes of w with the
-        # chunk's rgb rows -> (P, 3)
-        rgb_acc = rgb_acc + _dot_lanes(w, f[5:8, :])
+        # chunk's rgb rows -> (P, 3). 3-limb split (no cancellation in a
+        # positive-weighted color sum) halves the HIGHEST-precision passes.
+        rgb_acc = rgb_acc + _dot3_lanes(w, f[5:8, :])
         logT = logT + tot  # full-chunk log-product (same grouping as bwd)
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
@@ -418,8 +450,10 @@ def _bwd_kernel(
             T_i = jnp.exp(logT_before + s)  # (P, C)
             w = alpha * T_i  # (P, C)
 
-            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: rank-3 on the MXU
-            G_rgb = _dot(cot_m, f[5:8, :])  # (P, C)
+            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: a 3-term broadcast
+            # FMA chain on the VPU (3 passes) — as a rank-3 MXU matmul at
+            # HIGHEST precision this was 6 full MXU streams of P rows
+            G_rgb = (gr * f[5:6, :] + gg * f[6:7, :]) + gb * f[7:8, :]
             u = G_rgb * w
             # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
             # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
@@ -427,14 +461,16 @@ def _bwd_kernel(
             S_i = S + suf_ex
 
             # d_alpha folded with its gates in one select: keep already
-            # implies power <= 0 (the vjp gate of min(power, 0)), and om
+            # implies power <= 0 (the reference's pixel-skip gate), and om
             # replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it at
             # 0.01 (masked lanes have alpha = 0, om = 1). The 0.99 clamp
-            # gate matches the jnp.minimum vjp of the jnp path.
+            # gate matches the jnp.minimum vjp of the jnp path. The multiply
+            # by alpha_raw stays INSIDE the select: without min(power, 0) in
+            # _alpha_terms, alpha_raw can be +inf on power > 0 lanes and
+            # 0 * inf outside the select would be NaN.
             d_alpha = T_i * G_rgb - S_i / om
-            d_power_px = (
-                jnp.where(keep & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
-                * alpha_raw
+            d_power_px = jnp.where(
+                keep & (alpha_raw < ALPHA_MAX), d_alpha * alpha_raw, 0.0
             )
 
             # All 9 pixel reductions ride the MXU. The geometric gradients
@@ -459,7 +495,9 @@ def _bwd_kernel(
             e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
             e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
             e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
-            wmom = _dot_sub(cot_m, w)  # (3, C): cotangent-weighted weights
+            # cotangent-weighted weight sums: positive-weighted, no
+            # cancellation -> 3-limb split (half the MXU passes of HIGHEST)
+            wmom = _dot3_sub(cot_m, w)  # (3, C)
 
             dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
             dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)

@@ -47,9 +47,11 @@ class Preprocessed(NamedTuple):
     tiles_touched: jnp.ndarray  # (N,) int32
     rect_min: jnp.ndarray  # (N,2) int32 tile-rect [x,y]
     rect_max: jnp.ndarray  # (N,2) int32 (exclusive)
-    # opacity-aware binning radius (pixels, float32): beyond it alpha
-    # provably fails the 1/255 blend gate. None = skip distance culling.
-    r_bin: Optional[jnp.ndarray] = None
+    # opacity-aware cull threshold ln(255*op): a pixel at Mahalanobis
+    # quadratic q = -power passes the blend's alpha >= 1/255 gate iff
+    # q <= cull_thr, so tiles whose whole pixel rect has q > cull_thr are
+    # provably zero-contribution. None = skip per-tile ellipse culling.
+    cull_thr: Optional[jnp.ndarray] = None
 
 
 def preprocess(
@@ -126,12 +128,15 @@ def preprocess(
     #     the tile RECT (the reference always bins the full 3-sigma square,
     #     auxiliary.h getRect, and wastes blend work on tiles an elongated
     #     or translucent gaussian never reaches);
-    #   - the circumscribed radius sqrt(2 lambda_max ln) for the per-tile
-    #     distance cull in ops/binning.py.
+    #   - the threshold ln(255 op) itself (cull_thr) for the exact
+    #     ellipse-vs-tile-rect cull in ops/binning.py.
     # ``radii`` keeps the 3-sigma semantics (densification stats).
     ln_op = jnp.log(jnp.maximum(255.0 * opacities, 1.0))
-    r_alpha = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * lambda_max * ln_op, 1e-12)))
-    r_bin = jax.lax.stop_gradient(jnp.minimum(radius, r_alpha))
+    # NOTE: no 3-sigma cap here — the blend itself has no Mahalanobis gate
+    # (truncation in the reference comes only from the binning rect,
+    # forward.cu:344-346 gates on alpha alone), so the alpha bound is the
+    # only test that keeps the cull output-exact.
+    cull_thr = jax.lax.stop_gradient(ln_op)
     ext_x = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * a * ln_op, 1e-12)))
     ext_y = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * c * ln_op, 1e-12)))
     ext_x = jax.lax.stop_gradient(jnp.minimum(ext_x, radius))
@@ -164,5 +169,5 @@ def preprocess(
         tiles_touched=tiles_touched,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
-        r_bin=r_bin,
+        cull_thr=cull_thr,
     )

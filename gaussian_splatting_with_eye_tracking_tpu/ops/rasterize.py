@@ -41,7 +41,8 @@ class RenderOut(NamedTuple):
     final_t: jnp.ndarray  # (H, W) remaining transmittance (ImageState.accum_alpha)
     radii: jnp.ndarray  # (N,) int32, 0 = culled (visibility_filter = radii > 0)
     means2d: jnp.ndarray  # (N, 2) screen-space centers
-    num_instances: jnp.ndarray  # () int32 (reference num_rendered)
+    num_instances: jnp.ndarray  # () int32 live instances (reference num_rendered)
+    num_enumerated: jnp.ndarray  # () int32 rect pairs before the ellipse cull
     overflow: jnp.ndarray  # () bool, instance capacity exceeded
 
 
@@ -49,14 +50,14 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "sh_degree", "width", "height", "tile", "max_instances",
-        "max_per_tile", "impl", "scale_modifier",
+        "max_live", "max_per_tile", "impl", "scale_modifier",
     ),
 )
 def _rasterize_impl(
     means3d, scales, quats, opacities, sh, means2d_offset, bg, active_mask,
     viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
-    *, sh_degree, width, height, tile, max_instances, max_per_tile, impl,
-    scale_modifier,
+    *, sh_degree, width, height, tile, max_instances, max_live,
+    max_per_tile, impl, scale_modifier,
 ):
     cam = CameraParams(
         viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
@@ -70,7 +71,9 @@ def _rasterize_impl(
     grid_x = -(-width // tile)
     grid_y = -(-height // tile)
 
-    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances, tile_px=tile)
+    b = binning_ops.bin_gaussians(
+        prep, grid_x, grid_y, max_instances, tile_px=tile, max_live=max_live
+    )
 
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
@@ -89,7 +92,8 @@ def _rasterize_impl(
     final_t = final_t[:height, :width]
     return RenderOut(
         color=color, final_t=final_t, radii=prep.radii, means2d=prep.means2d,
-        num_instances=b.num_instances, overflow=b.overflow,
+        num_instances=b.num_instances, num_enumerated=b.num_enumerated,
+        overflow=b.overflow,
     )
 
 
@@ -119,6 +123,7 @@ def rasterize(
     sh_degree: int = 3,
     tile: int = 32,
     max_instances: int = 1 << 19,
+    max_live: int | None = None,
     max_per_tile: int = 1024,
     active_mask: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
@@ -147,8 +152,8 @@ def rasterize(
     )
     kwargs = dict(
         sh_degree=sh_degree, width=cam.width, height=cam.height, tile=tile,
-        max_instances=max_instances, max_per_tile=max_per_tile, impl=impl,
-        scale_modifier=scale_modifier,
+        max_instances=max_instances, max_live=max_live,
+        max_per_tile=max_per_tile, impl=impl, scale_modifier=scale_modifier,
     )
     if not debug:
         return _rasterize_impl(*args, **kwargs)

@@ -41,6 +41,7 @@ def render(
     impl: str = "auto",
     tile: int = 32,
     max_instances: int = 1 << 20,
+    max_live: Optional[int] = None,
     max_per_tile: int = 2048,
 ) -> rast.RenderOut:
     import jax
@@ -60,6 +61,7 @@ def render(
         sh_degree=max_sh_degree,
         tile=tile,
         max_instances=max_instances,
+        max_live=max_live,
         max_per_tile=max_per_tile,
         active_mask=state.active,
         means2d_offset=means2d_offset,

@@ -31,6 +31,7 @@ class StepAux(NamedTuple):
     l1: jnp.ndarray
     psnr: jnp.ndarray
     num_instances: jnp.ndarray
+    num_enumerated: jnp.ndarray
     overflow: jnp.ndarray
     image: jnp.ndarray
 
@@ -44,13 +45,15 @@ def make_train_step(
     impl: str = "auto",
     tile: int = 32,
     max_instances: int = 1 << 20,
+    max_live: Optional[int] = None,
     max_per_tile: int = 2048,
 ):
     """Build the jitted train step for a fixed image resolution."""
 
     render_kw = dict(
         max_sh_degree=max_sh_degree, impl=impl, tile=tile,
-        max_instances=max_instances, max_per_tile=max_per_tile,
+        max_instances=max_instances, max_live=max_live,
+        max_per_tile=max_per_tile,
     )
 
     @jax.jit
@@ -94,7 +97,8 @@ def make_train_step(
         aux = StepAux(
             loss=loss, l1=l1,
             psnr=-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
-            num_instances=out.num_instances, overflow=out.overflow,
+            num_instances=out.num_instances,
+            num_enumerated=out.num_enumerated, overflow=out.overflow,
             image=out.color,
         )
         return state, aux

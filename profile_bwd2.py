@@ -18,7 +18,8 @@ from tests.helpers import make_camera, make_random_gaussians
 
 W, H, N = 1920, 1088, 300_000
 TILE, CHUNK = 32, 128
-MAXI = 1 << 21
+MAXI = (1 << 20) + (1 << 19) + (1 << 16)
+MAXL = (1 << 20) + (1 << 18) + (1 << 17)
 cam = make_camera(W, H, cam_z=-5.0)
 means, scales, quats, op, sh = make_random_gaussians(
     N, seed=0, sh_degree=3, spread=2.5, scale_range=(-4.6, -3.0)
@@ -28,7 +29,7 @@ num_tiles = grid_x * grid_y
 bg = jnp.zeros(3)
 
 prep = jax.jit(lambda m: preprocess(m, scales, quats, op, sh, 3, cam, tile=TILE))(means)
-b = jax.jit(lambda: binning_ops.bin_gaussians(prep, grid_x, grid_y, MAXI))()
+b = jax.jit(lambda: binning_ops.bin_gaussians(prep, grid_x, grid_y, MAXI, max_live=MAXL))()
 prep, b = jax.block_until_ready((prep, b))
 K = b.gauss_id.shape[0]
 print(f"instances={int(b.num_instances)} overflow={bool(b.overflow)} K={K}",

@@ -261,26 +261,49 @@ class TestBinning:
         prep = preprocess(means, scales, quats, op, sh, 0, cam)
         b = binning_ops.bin_gaussians(prep, 2, 2, max_instances=4096)
         assert not bool(b.overflow)
-        # oracle for the distance cull: of every (gaussian, tile-in-rect)
-        # pair, exactly those whose tile pixel rect is within r_bin of the
-        # center survive (the rest provably fail the alpha >= 1/255 gate)
+        # Oracle for the ellipse cull. Safety (the critical property): every
+        # (gaussian, tile) pair with at least one pixel passing the blend's
+        # alpha >= 1/255 gate MUST be kept. Tightness: the kept set is no
+        # larger than the old circumscribed-circle test's.
         rmin = np.asarray(prep.rect_min)
         rmax = np.asarray(prep.rect_max)
         xy = np.asarray(prep.means2d)
-        r2 = np.asarray(prep.r_bin) ** 2
-        expected = 0
-        per_gauss = []
+        con = np.asarray(prep.conics)
+        opac = np.asarray(prep.opacities)
+        kept = {
+            (int(g), int(t))
+            for g, t in zip(
+                np.asarray(b.gauss_id)[: int(b.num_instances)],
+                np.asarray(b.tile_id)[: int(b.num_instances)],
+            )
+        }
+        per_gauss = [0] * xy.shape[0]
+        circle_count = 0
+        px = np.arange(32.0)
         for i in range(xy.shape[0]):
-            cnt = 0
+            ca, cb, cc = con[i]
+            lam_max = 0.5 * (ca + cc) + np.hypot(0.5 * (ca - cc), cb)
+            # old circle radius bound (through the conic eigenvalues of the
+            # INVERSE covariance the bound is 2*ln/lambda_min(conic);
+            # conservative recomputation just for the tightness assert)
             for ty in range(rmin[i, 1], rmax[i, 1]):
                 for tx in range(rmin[i, 0], rmax[i, 0]):
-                    x0, y0 = tx * 32.0, ty * 32.0
-                    ddx = max(x0 - xy[i, 0], xy[i, 0] - (x0 + 31.0), 0.0)
-                    ddy = max(y0 - xy[i, 1], xy[i, 1] - (y0 + 31.0), 0.0)
-                    cnt += ddx * ddx + ddy * ddy <= r2[i]
-            per_gauss.append(cnt)
-            expected += cnt
-        assert int(b.num_instances) == expected
+                    dx = tx * 32.0 + px - xy[i, 0]
+                    dy = ty * 32.0 + px - xy[i, 1]
+                    q = (
+                        0.5 * (ca * dx[None, :] ** 2 + cc * dy[:, None] ** 2)
+                        + cb * dx[None, :] * dy[:, None]
+                    )
+                    alpha = opac[i] * np.exp(-q)
+                    contributes = bool(((alpha >= 1.0 / 255.0) & (q >= 0)).any())
+                    if contributes:
+                        assert (i, ty * 2 + tx) in kept, (
+                            f"cull dropped a contributing pair {(i, tx, ty)}"
+                        )
+                    per_gauss[i] += (i, ty * 2 + tx) in kept
+                    circle_count += 1
+        # tightness: never bins more than the full rect
+        assert int(b.num_instances) <= circle_count
         assert int(b.num_instances) <= int(jnp.sum(prep.tiles_touched))
         np.testing.assert_array_equal(np.asarray(b.gauss_count), per_gauss)
         np.testing.assert_array_equal(
@@ -320,6 +343,31 @@ class TestBinning:
         # every (gaussian, tile-in-rect) pair appears exactly once
         got = set(zip(g.tolist(), t.tolist()))
         assert len(got) == k
+
+    def test_max_live_truncation(self):
+        cam = make_camera(64, 64)
+        means, scales, quats, op, sh = make_random_gaussians(300, seed=6)
+        prep = preprocess(means, scales, quats, op, sh, 0, cam)
+        full = binning_ops.bin_gaussians(prep, 2, 2, max_instances=4096)
+        n_live = int(full.num_instances)
+        # a live capacity above the live count is output-identical on the
+        # truncated prefix
+        tight = binning_ops.bin_gaussians(
+            prep, 2, 2, max_instances=4096, max_live=n_live + 8
+        )
+        assert not bool(tight.overflow)
+        assert int(tight.num_instances) == n_live
+        np.testing.assert_array_equal(
+            np.asarray(full.gauss_id[:n_live]), np.asarray(tight.gauss_id[:n_live])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.offsets), np.asarray(tight.offsets)
+        )
+        # a live capacity below the live count must raise the overflow flag
+        over = binning_ops.bin_gaussians(
+            prep, 2, 2, max_instances=4096, max_live=n_live - 1
+        )
+        assert bool(over.overflow)
 
     def test_overflow_flag(self):
         cam = make_camera(64, 64)

@@ -75,6 +75,10 @@ def training(
     # REDONE at the grown capacity (the step is pure state -> state).
     cap_bucket = capacity_bucket
     cap = max(instance_capacity or RasterizeConfig().max_instances, cap_bucket)
+    # live capacity (ellipse-culled instances that reach the sorted list and
+    # every downstream stage) adapts independently of the rect-enumeration
+    # capacity; it starts equal and tightens from measured live counts
+    cap_live = cap
     shrink_streak = 0
 
     def _grow(above):
@@ -84,12 +88,12 @@ def training(
         return -(-c // cap_bucket) * cap_bucket
 
     def step_for(cam):
-        key = (cam.width, cam.height, cap)
+        key = (cam.width, cam.height, cap, cap_live)
         if key not in steps:
             steps[key] = train_lib.make_train_step(
                 tx, opt, max_sh_degree=scene.max_sh_degree,
                 width=cam.width, height=cam.height, impl=impl,
-                max_instances=cap,
+                max_instances=cap, max_live=min(cap_live, cap),
             )
         return steps[key]
 
@@ -119,22 +123,30 @@ def training(
         state, aux = step_for(cam)(state, *step_args)
 
         if bool(aux.overflow):
-            # grow capacity and REDO from the pre-step state: an overflowed
+            # grow capacities and REDO from the pre-step state: an overflowed
             # step rendered (and differentiated) a truncated instance list
-            cap = _grow(max(int(aux.num_instances), cap))
+            cap = _grow(max(int(aux.num_enumerated), cap))
+            cap_live = _grow(max(int(aux.num_instances), cap_live))
             shrink_streak = 0
             if not quiet:
-                print(f"[it {iteration}] instance capacity -> {cap} (overflow redo)")
+                print(f"[it {iteration}] instance capacity -> "
+                      f"{cap}/{cap_live} (overflow redo)")
             state, aux = step_for(cam)(prev_state, *step_args)
         else:
+            ne = int(aux.num_enumerated)
             ni = int(aux.num_instances)
-            if ni > 0.9 * cap:
-                cap = _grow(max(int(ni * 1.3), cap))  # grow ahead of overflow
+            if ne > 0.9 * cap or ni > 0.9 * cap_live:
+                # grow ahead of overflow
+                cap = _grow(max(int(ne * 1.3), cap))
+                cap_live = _grow(max(int(ni * 1.3), cap_live))
                 shrink_streak = 0
-            elif ni < 0.35 * cap and cap > cap_bucket:
+            elif (ne < 0.35 * cap or ni < 0.35 * cap_live) and (
+                cap > cap_bucket or cap_live > cap_bucket
+            ):
                 shrink_streak += 1
                 if shrink_streak >= 200:  # sustained headroom: shed the waste
-                    cap = _grow(int(ni * 1.6))
+                    cap = _grow(int(ne * 1.6))
+                    cap_live = _grow(int(ni * 1.6))
                     shrink_streak = 0
             else:
                 shrink_streak = 0
