@@ -84,26 +84,32 @@ def bin_gaussians(
         rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     else:
         rank = jnp.zeros(n, jnp.int32)
-    cols = [
-        excl,
-        prep.rect_min[:, 0],
-        prep.rect_min[:, 1],
-        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
-        rank,
-    ]
+    # (rect_min_x, rect_min_y, width) packed in one int32 (10 bits each
+    # covers grids up to 1024 tiles = 32k px per axis) so the hot row
+    # gather below stays 8 columns — gather cost scales with row bytes.
+    width_r = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    packed_rect = (
+        (prep.rect_min[:, 0] << 20) | (prep.rect_min[:, 1] << 10) | width_r
+    )
+    cols = [excl, packed_rect, rank]
     if prep.cull_thr is not None:
-        # float columns ride the SAME int32 row gather via bitcast
+        # float columns ride the SAME int32 row gather via bitcast; the
+        # conic is pre-divided by the cull threshold so the per-slot test
+        # is qmin' <= 1 (saves a threshold column)
         bits = lambda x: jax.lax.bitcast_convert_type(
             x.astype(jnp.float32), jnp.int32
         )
+        thr_safe = jnp.maximum(prep.cull_thr, 1e-20)
         cols += [bits(prep.means2d[:, 0]), bits(prep.means2d[:, 1]),
-                 bits(prep.conics[:, 0]), bits(prep.conics[:, 1]),
-                 bits(prep.conics[:, 2]), bits(prep.cull_thr)]
-    attrs = jnp.stack(cols, axis=1)  # (N, 5|11)
-    a = attrs[g]  # (K, 5|11) single row gather
+                 bits(prep.conics[:, 0] / thr_safe),
+                 bits(prep.conics[:, 1] / thr_safe),
+                 bits(prep.conics[:, 2] / thr_safe)]
+    attrs = jnp.stack(cols, axis=1)  # (N, 3|8)
+    a = attrs[g]  # (K, 3|8) single row gather
     r = k - a[:, 0]  # rank within the gaussian's rect, row-major
-    tx = a[:, 1] + r % a[:, 3]
-    ty = a[:, 2] + r // a[:, 3]
+    w_r = a[:, 1] & 1023
+    tx = (a[:, 1] >> 20) + r % w_r
+    ty = ((a[:, 1] >> 10) & 1023) + r // w_r
     kept = valid
     if prep.cull_thr is not None:
         # Per-tile ellipse culling, EXACT w.r.t. the blend output: the blend
@@ -118,12 +124,12 @@ def bin_gaussians(
         # previous circumscribed-circle test this is strictly tighter for
         # anisotropic or translucent gaussians.
         unbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-        cx = unbits(a[:, 5])
-        cy = unbits(a[:, 6])
-        ca = unbits(a[:, 7])
-        cb = unbits(a[:, 8])
-        cc = unbits(a[:, 9])
-        thr = unbits(a[:, 10])
+        cx = unbits(a[:, 3])
+        cy = unbits(a[:, 4])
+        ca = unbits(a[:, 5])  # conic pre-divided by cull_thr
+        cb = unbits(a[:, 6])
+        cc = unbits(a[:, 7])
+        thr = 1.0  # normalized out
         x0 = (tx * tile_px).astype(jnp.float32) - cx  # rect in center frame
         y0 = (ty * tile_px).astype(jnp.float32) - cy
         x1 = x0 + (tile_px - 1)
@@ -161,7 +167,7 @@ def bin_gaussians(
     # tile<<32|depth radix sort (rasterizer_impl.cu:70-111, 300-308), as a
     # single-int32-key sort when tile+rank bits fit (fast path).
     if use_packed:
-        key = (tile_id << rank_bits) | jnp.where(valid, a[:, 4], 0)
+        key = (tile_id << rank_bits) | jnp.where(valid, a[:, 2], 0)
         key_sorted, gauss_sorted = jax.lax.sort((key, g), num_keys=1)
         tile_sorted = key_sorted >> rank_bits
     else:

@@ -100,7 +100,7 @@ timeit("1D gather (K,) f32", stage_gather1, zero)
 rank = jnp.arange(N, dtype=jnp.int32)
 rank_bits = max(1, (N - 1).bit_length())
 g_of = jnp.clip(gidx, 0, N - 1)
-tile_rand = (jnp.arange(MAXI, dtype=jnp.int32) * 2654435761) % (grid_x * grid_y)
+tile_rand = (jnp.arange(MAXI, dtype=jnp.uint32) * jnp.uint32(2654435761)).astype(jnp.int32) % (grid_x * grid_y)
 
 def stage_sort(z, i):
     key = ((tile_rand + z) << rank_bits) | rank[g_of]

@@ -116,7 +116,7 @@ timeit("preprocess fwd+bwd", lambda m, i: jnp.mean(jax.grad(prep_loss)(m, i)[:, 
 def full_loss(m, i):
     out = rast.rasterize(
         m, scales, quats, op, sh, cam, bg, sh_degree=3,
-        max_instances=MAXI, max_per_tile=2048, impl="pallas",
+        max_instances=MAXI, max_live=MAXL, max_per_tile=2048, impl="pallas",
     )
     return jnp.mean(out.color ** 2)
 

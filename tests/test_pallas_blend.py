@@ -90,7 +90,8 @@ def fake_binning(gid, offsets, n_gauss):
     start = jnp.cumsum(count) - count
     return binning_ops.Binning(
         gauss_id=gid, tile_id=jnp.zeros(k, jnp.int32), offsets=offsets,
-        num_instances=offsets[-1], overflow=jnp.array(False),
+        num_instances=offsets[-1], num_enumerated=offsets[-1],
+        overflow=jnp.array(False),
         gauss_start=start, gauss_count=count,
     )
 
