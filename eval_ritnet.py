@@ -15,19 +15,17 @@ from gaussian_splatting_with_eye_tracking_tpu.models import ritnet, ritnet_train
 from gaussian_splatting_with_eye_tracking_tpu.utils.image_utils import save_image
 
 
-def load_params(path: str):
-    if path.endswith(".npz"):
-        z = np.load(path)
-        return {k: jnp.asarray(z[k]) for k in z.files}
-    return ritnet.import_torch_state_dict(path)
+def load_params(path: str | None):
+    return ritnet.load_pretrained(path)
 
 
 def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--images", required=True, type=str)
     parser.add_argument("--labels", default="", type=str, help="optional GT .npy dir")
-    parser.add_argument("--weights", required=True, type=str,
-                        help=".npz (ours) or torch .pkl (reference checkpoint)")
+    parser.add_argument("--weights", default=None, type=str,
+                        help=".npz (ours) or torch .pkl (reference checkpoint); "
+                             "default: vendored pretrained weights")
     parser.add_argument("--out_dir", default="ritnet_out", type=str)
     args = parser.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)

@@ -51,6 +51,7 @@ class OptimizationConfig:
     position_lr_init: float = 0.00016
     position_lr_final: float = 0.0000016
     position_lr_delay_mult: float = 0.01
+    position_lr_delay_steps: int = 0
     position_lr_max_steps: int = 30_000
     feature_lr: float = 0.0025
     opacity_lr: float = 0.05

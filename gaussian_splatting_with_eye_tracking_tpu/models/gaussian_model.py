@@ -103,22 +103,32 @@ def num_active(state: GaussianModelState) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def expon_lr_schedule(lr_init, lr_final, lr_delay_mult, max_steps):
+def expon_lr_schedule(lr_init, lr_final, lr_delay_mult, max_steps,
+                      lr_delay_steps: int = 0):
     """Plenoxels-style log-linear LR decay with a delayed sine warmup
-    (reference get_expon_lr_func, utils/general_utils.py:29-62)."""
+    (reference get_expon_lr_func, utils/general_utils.py:29-62): the LR
+    starts at lr_init*lr_delay_mult and eases back via a reverse cosine over
+    lr_delay_steps; lr_delay_steps == 0 (the reference default for every
+    param group) disables the warmup entirely. Negative steps and an
+    all-zero lr range disable the parameter (return 0), matching the
+    reference helper."""
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         t = jnp.clip(step / max_steps, 0.0, 1.0)
         log_lerp = jnp.exp(
-            jnp.log(lr_init) * (1 - t) + jnp.log(max(lr_final, 1e-32)) * t
+            jnp.log(max(lr_init, 1e-32)) * (1 - t)
+            + jnp.log(max(lr_final, 1e-32)) * t
         )
-        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
-            0.5 * jnp.pi * jnp.clip(step / max(1, max_steps * 0.01), 0.0, 1.0)
-        )
-        # the reference applies no warmup when lr_delay_steps == 0 (default)
-        del delay
-        return log_lerp
+        if lr_delay_steps > 0:
+            delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+            )
+        else:
+            delay_rate = 1.0
+        lr = delay_rate * log_lerp
+        disabled = (lr_init == 0.0 and lr_final == 0.0)
+        return jnp.where((step < 0) | disabled, 0.0, lr)
 
     return schedule
 
@@ -131,6 +141,7 @@ def make_optimizer(opt: OptimizationConfig, spatial_lr_scale: float):
         opt.position_lr_final * spatial_lr_scale,
         opt.position_lr_delay_mult,
         opt.position_lr_max_steps,
+        lr_delay_steps=getattr(opt, "position_lr_delay_steps", 0),
     )
 
     def adam(lr):
@@ -254,10 +265,20 @@ def oneup_sh_degree(state: GaussianModelState, max_sh_degree: int) -> GaussianMo
 
 
 def add_densification_stats(
-    state: GaussianModelState, means2d_grad: jnp.ndarray, radii: jnp.ndarray
+    state: GaussianModelState, means2d_grad: jnp.ndarray, radii: jnp.ndarray,
+    width: int = 2, height: int = 2,
 ) -> GaussianModelState:
+    """``means2d_grad`` is dL/dmean2D in PIXEL units (harvested via
+    ``means2d_offset``); the accumulated norm converts it to the reference's
+    NDC-half-viewport scale — backward.cu multiplies pixel-space gradients by
+    ddelx_dx = 0.5*W / ddely_dy = 0.5*H (backward.cu:460-461,545-546) before
+    they reach add_densification_stats (scene/gaussian_model.py:405-407) —
+    so densify_grad_threshold=0.0002 (arguments/__init__.py:85) selects the
+    same gaussians it does in the reference. The width/height defaults of 2
+    make the conversion the identity for pre-scaled callers."""
     visible = radii > 0
-    g = jnp.linalg.norm(means2d_grad, axis=-1)
+    scale = jnp.array([0.5 * width, 0.5 * height], means2d_grad.dtype)
+    g = jnp.linalg.norm(means2d_grad * scale, axis=-1)
     return state._replace(
         xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, g, 0.0),
         denom=state.denom + visible.astype(jnp.float32),

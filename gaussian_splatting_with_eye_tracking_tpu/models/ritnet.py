@@ -110,6 +110,22 @@ def get_predictions(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=1)
 
 
+VENDORED_WEIGHTS = __file__.rsplit("/", 1)[0] + "/weights/ritnet_best.npz"
+
+
+def load_pretrained(path: str | None = None) -> Dict[str, jnp.ndarray]:
+    """Load RITnet weights. With no path, loads the vendored conversion of
+    the reference's shipped checkpoint (RITnet/best_model.pkl — the reference
+    ships weights in-repo, SURVEY.md §2.3) from ``weights/ritnet_best.npz``;
+    an explicit ``.pkl`` path falls through to the torch importer."""
+    if path is None:
+        path = VENDORED_WEIGHTS
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: jnp.asarray(z[k]) for k in z.files}
+    return import_torch_state_dict(path)
+
+
 def import_torch_state_dict(path: str) -> Dict[str, jnp.ndarray]:
     """Load the reference's shipped checkpoint (torch pickle of a
     state_dict) into a plain dict of arrays."""

@@ -334,7 +334,9 @@ def make_gauss_sharded_train_step(
         state = state._replace(params=params, opt_state=opt_state)
         state = jax.lax.cond(
             accumulate_stats,
-            lambda s: gm.add_densification_stats(s, g_offset, radii),
+            lambda s: gm.add_densification_stats(
+                s, g_offset, radii, width=width, height=height
+            ),
             lambda s: s,
             state,
         )
@@ -430,7 +432,9 @@ def make_sharded_train_step(
         state = state._replace(params=params, opt_state=opt_state)
         state = jax.lax.cond(
             accumulate_stats,
-            lambda s: gm.add_densification_stats(s, g_offset, radii),
+            lambda s: gm.add_densification_stats(
+                s, g_offset, radii, width=width, height=height
+            ),
             lambda s: s,
             state,
         )

@@ -88,7 +88,9 @@ def make_train_step(
         # densification stats (reference train.py:110-113)
         state = jax.lax.cond(
             accumulate_stats,
-            lambda s: gm.add_densification_stats(s, g_offset, out.radii),
+            lambda s: gm.add_densification_stats(
+                s, g_offset, out.radii, width=width, height=height
+            ),
             lambda s: s,
             state,
         )

@@ -32,6 +32,43 @@ def make_camera(width=64, height=64, fovx=math.radians(60), fovy=None, cam_z=-5.
     )
 
 
+def make_orbit_camera(azimuth, elevation=0.3, radius=5.0, width=64, height=64,
+                      fovx=math.radians(60), fovy=None, target=(0.0, 0.0, 0.0)):
+    """A camera on a sphere of ``radius`` around ``target``, looking at it.
+    Multi-view analog of make_camera for training regressions (the reference
+    trains from COLMAP orbits, scene/dataset_readers.py)."""
+    if fovy is None:
+        fovy = fovx
+    target = np.asarray(target, np.float64)
+    p = target + radius * np.array(
+        [
+            math.cos(elevation) * math.sin(azimuth),
+            math.sin(elevation),
+            -math.cos(elevation) * math.cos(azimuth),
+        ]
+    )
+    f = target - p
+    f = f / np.linalg.norm(f)
+    up = np.array([0.0, 1.0, 0.0])
+    r = np.cross(up, f)
+    r = r / np.linalg.norm(r)
+    u = np.cross(f, r)
+    Rv = np.stack([r, u, f])  # world->view rotation (camera looks down +z)
+    t = -Rv @ p
+    view = tf.world_to_view(Rv.T, t)
+    proj = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    full = (proj @ view).astype(np.float32)
+    return CameraParams(
+        viewmatrix=jnp.asarray(view.astype(np.float32)),
+        projmatrix=jnp.asarray(full),
+        campos=jnp.asarray(p.astype(np.float32)),
+        tan_fovx=math.tan(fovx / 2),
+        tan_fovy=math.tan(fovy / 2),
+        width=width,
+        height=height,
+    )
+
+
 def make_random_gaussians(n=500, seed=0, sh_degree=0, spread=1.5, depth_range=(3.0, 7.0),
                           scale_range=(-3.5, -2.0)):
     """Random gaussians in front of the make_camera() viewpoint (world z>0)."""

@@ -63,6 +63,24 @@ class TestOptimizer:
         assert float(sched(1000)) == pytest.approx(1e-4, rel=1e-4)
         assert float(sched(500)) == pytest.approx(1e-3, rel=1e-3)
 
+    def test_lr_delay_warmup(self):
+        # reference get_expon_lr_func semantics (utils/general_utils.py:29-62)
+        import numpy as np
+
+        sched = gm.expon_lr_schedule(1e-2, 1e-4, 0.1, 1000, lr_delay_steps=100)
+        # at step 0 the sine warmup scales lr_init by lr_delay_mult
+        assert float(sched(0)) == pytest.approx(1e-3, rel=1e-4)
+        # mid-warmup matches the reference reverse-cosine formula
+        expect_50 = (0.1 + 0.9 * np.sin(0.5 * np.pi * 0.5)) * np.exp(
+            np.log(1e-2) * 0.95 + np.log(1e-4) * 0.05
+        )
+        assert float(sched(50)) == pytest.approx(expect_50, rel=1e-4)
+        # past lr_delay_steps the warmup is fully eased back
+        expect_200 = np.exp(np.log(1e-2) * 0.8 + np.log(1e-4) * 0.2)
+        assert float(sched(200)) == pytest.approx(expect_200, rel=1e-4)
+        # negative step disables the parameter
+        assert float(sched(-1)) == 0.0
+
     def test_zero_grad_keeps_inactive_rows_fixed(self):
         state, tx, opt, *_ = small_state()
         g = jax.tree.map(jnp.zeros_like, state.params)

@@ -100,6 +100,23 @@ class TestPretrainedWeights:
         assert 0 <= gaze[0] < w and 0 <= gaze[1] < h
 
 
+class TestVendoredWeights:
+    def test_load_pretrained_default(self):
+        # the vendored .npz makes the eye-tracking demo self-contained
+        assert os.path.exists(ritnet.VENDORED_WEIGHTS)
+        params = ritnet.load_pretrained()
+        assert "down_block1.conv1.weight" in params
+        assert params["out_conv1.weight"].shape[0] == 4
+
+    @pytest.mark.skipif(not os.path.exists(REF_WEIGHTS), reason="no reference weights")
+    def test_matches_torch_import(self):
+        vend = ritnet.load_pretrained()
+        ref = ritnet.import_torch_state_dict(REF_WEIGHTS)
+        assert set(vend) == set(ref)
+        for k in vend:
+            np.testing.assert_array_equal(np.asarray(vend[k]), np.asarray(ref[k]))
+
+
 class TestPreprocess:
     def test_gamma_and_clahe_shapes(self):
         img = np.random.default_rng(0).integers(0, 255, (64, 80), np.uint8)

@@ -32,15 +32,18 @@ from gaussian_splatting_with_eye_tracking_tpu.utils.general_utils import safe_st
 from gaussian_splatting_with_eye_tracking_tpu.utils.image_utils import save_image
 
 
-def estimate_gaze(eye_image_path: str, weights_path: str, out_seg_path: str = ""):
-    """Eye image -> (gaze_uv in [0,1]^2, segmentation map)."""
+def estimate_gaze(eye_image_path: str, weights_path: str | None = None,
+                  out_seg_path: str = ""):
+    """Eye image -> (gaze_uv in [0,1]^2, segmentation map). With no
+    weights_path the vendored pretrained weights load (self-contained, like
+    the reference shipping RITnet/best_model.pkl in-repo)."""
     from PIL import Image
 
     eye = np.asarray(Image.open(eye_image_path).convert("L"))
     h = eye.shape[0] - eye.shape[0] % 16
     w = eye.shape[1] - eye.shape[1] % 16
     eye = eye[:h, :w]
-    params = ritnet.import_torch_state_dict(weights_path)
+    params = ritnet.load_pretrained(weights_path)
     x = ritnet.preprocess_eye_image(eye)
     logits = ritnet.densenet2d_apply(params, x)
     pred = np.asarray(ritnet.get_predictions(logits))[0]
@@ -59,7 +62,9 @@ def main(argv=None):
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--eye_image", default="eye.png", type=str)
     parser.add_argument("--ritnet_weights", default=os.environ.get(
-        "RITNET_WEIGHTS", "RITnet/best_model.pkl"), type=str)
+        "RITNET_WEIGHTS", None), type=str,
+        help="RITnet weights (.npz or torch .pkl); default: vendored "
+             "pretrained weights")
     parser.add_argument("--out_dir", default="", type=str)
     parser.add_argument("--num_views", default=4, type=int)
     parser.add_argument("--quiet", action="store_true")
