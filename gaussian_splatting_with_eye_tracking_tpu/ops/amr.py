@@ -56,6 +56,7 @@ class AMRState(NamedTuple):
     rgb: jnp.ndarray  # (N, 3)
     opacities: jnp.ndarray  # (N,)
     gauss_id: jnp.ndarray  # (K,) sorted instance list
+    feat_soa: jnp.ndarray  # (FEAT, K') sorted SoA rows for the Pallas rounds
     offsets: jnp.ndarray  # (T+1,)
     tile_levels: jnp.ndarray  # (T,) int32 target level 1..4
     tile_levels_last: jnp.ndarray  # (T,) int32 level already rendered (0 init)
@@ -124,7 +125,16 @@ def fovea_step0(
         means3d, scales, quats, opacities, sh, sh_degree, cam,
         tile=tile, active_mask=active_mask,
     )
-    b = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances, tile_px=tile)
+    from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
+
+    interpret = jax.default_backend() == "cpu"
+    si = binning_ops.build_sorted_instances(
+        prep.means2d, prep.conics, prep.rgb, prep.opacities,
+        prep.tiles_touched, prep.rect_min, prep.rect_max, prep.cull_thr,
+        prep.depths, grid_x, grid_y, max_instances, tile_px=tile,
+        interpret=interpret,
+    )
+    b = si.binning
     counts = b.offsets[1:] - b.offsets[:-1]
     levels = assign_levels(counts, percentiles)
     if gaze_xy is not None:
@@ -132,7 +142,9 @@ def fovea_step0(
     return AMRState(
         xy=prep.means2d, conics=prep.conics, rgb=prep.rgb,
         opacities=prep.opacities,
-        gauss_id=b.gauss_id, offsets=b.offsets,
+        gauss_id=b.gauss_id,
+        feat_soa=pallas_blend._feat_soa_from_rows(si.feat_rows, 128),
+        offsets=b.offsets,
         tile_levels=levels.astype(jnp.int32),
         tile_levels_last=jnp.zeros_like(levels, dtype=jnp.int32),
         color=jnp.zeros((3, grid_y * tile, grid_x * tile)),
@@ -155,8 +167,7 @@ def _round_tiles(state: AMRState, rnd: int, grid_x, grid_y, tile, impl,
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
 
         tiles = pallas_blend.blend_round_pallas(
-            state.xy, state.conics, state.rgb, state.opacities,
-            state.gauss_id, state.offsets, grid_x, grid_y, tile,
+            state.feat_soa, state.offsets, grid_x, grid_y, tile,
             stride=2, offx=offx, offy=offy, chunk=chunk, interpret=interpret,
             counts_override=gated_counts,
         )

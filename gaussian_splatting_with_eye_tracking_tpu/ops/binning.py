@@ -76,13 +76,17 @@ def bin_gaussians(
     n = tiles.shape[0]
     rank_bits = max(1, (n - 1).bit_length())
     tile_bits = max(1, (num_tiles + 1).bit_length())
-    use_packed = rank_bits + tile_bits <= 31
+    # 32 bits fit via the unsigned-order trick: XOR the sign bit before an
+    # int32 sort compares packed keys in unsigned order (tile<<rank | rank
+    # as a uint32). Covers 1080p/16px tiles (13 bits) x 512k gaussians.
+    use_packed = rank_bits + tile_bits <= 32
     if use_packed:
         # depth RANK replaces the depth sort key: exact, since ranks preserve
         # depth order and (tile, gaussian) pairs are unique.
         order = jnp.argsort(prep.depths)  # (N,) cheap: N << K
         rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     else:
+        order = None
         rank = jnp.zeros(n, jnp.int32)
     # (rect_min_x, rect_min_y, width) packed in one int32 (10 bits each
     # covers grids up to 1024 tiles = 32k px per axis) so the hot row
@@ -165,22 +169,29 @@ def bin_gaussians(
 
     # Lexicographic (tile, depth) ordering == the reference's 64-bit
     # tile<<32|depth radix sort (rasterizer_impl.cu:70-111, 300-308), as a
-    # single-int32-key sort when tile+rank bits fit (fast path).
+    # single-int32-KEY-ONLY sort when tile+rank bits fit in 32 (fast path):
+    # the gaussian id rides inside the key's rank bits and is recovered
+    # after the sort through the depth-order table — no sort payload at all.
+    n_live_total = jnp.sum(kept.astype(jnp.int32))
+    overflow = overflow | (n_live_total > max_live)
     if use_packed:
-        key = (tile_id << rank_bits) | jnp.where(valid, a[:, 2], 0)
-        key_sorted, gauss_sorted = jax.lax.sort((key, g), num_keys=1)
-        tile_sorted = key_sorted >> rank_bits
+        sign = jnp.int32(-(1 << 31))
+        key = ((tile_id << rank_bits) | jnp.where(valid, a[:, 2], 0)) ^ sign
+        (key_sorted,) = jax.lax.sort((key,), num_keys=1)
+        # culled + capacity-dropped slots carry the sentinel tile and sort to
+        # the back: everything past max_live is provably dead — truncate
+        # BEFORE decoding so the gather below runs at max_live, not capacity
+        key_sorted = key_sorted[:max_live] ^ sign
+        tile_sorted = jax.lax.shift_right_logical(key_sorted, rank_bits)
+        rank_sorted = key_sorted & ((1 << rank_bits) - 1)
+        gauss_sorted = order[rank_sorted]
     else:
         depth = jnp.where(valid, prep.depths[g], jnp.inf)
         tile_sorted, _, gauss_sorted = jax.lax.sort(
             (tile_id, depth, g), num_keys=2, is_stable=True
         )
-    # culled + capacity-dropped slots carry the sentinel tile and sorted to
-    # the back: everything past max_live is provably dead, truncate it away
-    n_live_total = jnp.sum(kept.astype(jnp.int32))
-    overflow = overflow | (n_live_total > max_live)
-    tile_sorted = tile_sorted[:max_live]
-    gauss_sorted = gauss_sorted[:max_live]
+        tile_sorted = tile_sorted[:max_live]
+        gauss_sorted = gauss_sorted[:max_live]
 
     # Per-tile [start, end) ranges (identifyTileRanges,
     # rasterizer_impl.cu:116-138) as CSR offsets: O(T log K) binary search
@@ -215,3 +226,195 @@ def bin_gaussians(
         gauss_start=live_start,
         gauss_count=live_count,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused instance builder (expand kernel + payload sort): the production TPU
+# path. Replaces both XLA gathers of bin_gaussians + _sorted_features — XLA's
+# general gather runs at ~2.8 GB/s effective on TPU (measured), two orders
+# of magnitude under the sort/expand path built here.
+# ---------------------------------------------------------------------------
+
+
+class SortedInstances(NamedTuple):
+    binning: Binning
+    # (10, max_live) f32 depth-sorted instance feature rows in the blend
+    # kernels' SoA order: [x, y, conic_a, conic_b, conic_c, r, g, b,
+    # opacity, gauss_id] — produced directly by the binning sort's payloads,
+    # no per-instance gather anywhere.
+    feat_rows: jnp.ndarray
+
+
+def _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px):
+    """Exact ellipse-vs-tile-rect cull (see bin_gaussians body for the
+    derivation): True iff min over the tile's pixel rect of the Mahalanobis
+    quadratic q = 0.5(ca dx^2 + cc dy^2) + cb dx dy is <= thr, i.e. some
+    pixel of the tile can pass the blend's alpha >= 1/255 gate."""
+    x0 = (tx * tile_px).astype(jnp.float32) - cx
+    y0 = (ty * tile_px).astype(jnp.float32) - cy
+    x1 = x0 + (tile_px - 1)
+    y1 = y0 + (tile_px - 1)
+
+    def q_at(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    cc_s = jnp.where(cc > 1e-12, cc, 1e-12)
+    ca_s = jnp.where(ca > 1e-12, ca, 1e-12)
+    dy_l = jnp.clip(-cb * x0 / cc_s, y0, y1)
+    dy_r = jnp.clip(-cb * x1 / cc_s, y0, y1)
+    dx_b = jnp.clip(-cb * y0 / ca_s, x0, x1)
+    dx_t = jnp.clip(-cb * y1 / ca_s, x0, x1)
+    q_edges = jnp.minimum(
+        jnp.minimum(q_at(x0, dy_l), q_at(x1, dy_r)),
+        jnp.minimum(q_at(dx_b, y0), q_at(dx_t, y1)),
+    )
+    q_corners = jnp.minimum(
+        jnp.minimum(q_at(x0, y0), q_at(x1, y0)),
+        jnp.minimum(q_at(x0, y1), q_at(x1, y1)),
+    )
+    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+    qmin = jnp.where(inside, 0.0, jnp.minimum(q_edges, q_corners))
+    # 1e-4 relative slack absorbs f32 rounding of the edge minimizers so a
+    # borderline pixel can never be culled while the blend keeps it
+    return qmin <= thr * (1.0 + 1e-4)
+
+
+def build_sorted_instances(
+    means2d, conics, rgb, opacities, tiles_touched, rect_min, rect_max,
+    cull_thr, depths, grid_x: int, grid_y: int, max_instances: int,
+    tile_px: int, max_live: int | None = None, interpret: bool = False,
+) -> SortedInstances:
+    """Depth-sorted CSR instance list AND its feature rows, gather-free.
+
+    The reference pipeline (rasterizer_impl.cu:277-318) scatters per-overlap
+    keys then radix-sorts 64-bit keys; per-instance attributes are re-read
+    per gaussian inside the kernels. The TPU shape of that:
+
+      1. compact live gaussians' 16 attribute+feature columns with ONE
+         stable N-sized sort (order-preserving; all columns exact f32
+         VALUES so step 2 can split them into bf16 limbs);
+      2. run-length EXPAND the compact rows to the enumeration's K slots
+         with the one-hot-matmul Pallas kernel (ops/expand.py) — each slot's
+         gaussian attributes with zero gathers;
+      3. per-slot rect decode + exact ellipse cull + packed (tile, depth
+         rank) key, then ONE K-sized sort whose PAYLOADS are the 10 feature
+         rows: the sort output IS the kernels' SoA feature array.
+    """
+    from gaussian_splatting_with_eye_tracking_tpu.ops import expand as expand_ops
+
+    if max_live is None:
+        max_live = max_instances
+    max_live = min(max_live, max_instances)
+    num_tiles = grid_x * grid_y
+    n = tiles_touched.shape[0]
+    tiles = tiles_touched.astype(jnp.int32)
+    cum = jnp.cumsum(tiles)
+    total = cum[-1]
+    excl = cum - tiles
+    overflow = total > max_instances
+    live = tiles > 0
+
+    rank_bits = max(1, (n - 1).bit_length())
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    use_packed = rank_bits + tile_bits <= 32
+    order = jnp.argsort(depths)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # 16 per-gaussian columns, all exact f32 VALUES (exp < 2^24): the int
+    # fields ride the same bf16-limb expand as the float features.
+    width_r = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    cols = [
+        excl.astype(jnp.float32),
+        (rect_min[:, 0] * 1024 + width_r).astype(jnp.float32),
+        rect_min[:, 1].astype(jnp.float32),
+        rank.astype(jnp.float32),
+        means2d[:, 0], means2d[:, 1],
+        conics[:, 0], conics[:, 1], conics[:, 2],
+        jnp.maximum(cull_thr, 0.0),
+        rgb[:, 0], rgb[:, 1], rgb[:, 2],
+        opacities,
+        jnp.arange(n, dtype=jnp.float32),  # gaussian id (exact < 2^24)
+        depths,
+    ]
+
+    # Order-preserving live compaction as ONE stable small sort (gathers
+    # banned): key = dead-flag << idx_bits | idx keeps live gaussians in
+    # original order at the front.
+    ckey = (jnp.where(live, 0, 1) << rank_bits) | jnp.arange(n, dtype=jnp.int32)
+    csorted = jax.lax.sort((ckey,) + tuple(cols), num_keys=1)
+    table = jnp.stack(csorted[1:], axis=0)  # (16, N) compact-first columns
+
+    # slot -> compact gaussian index: +1 marks at each live gaussian's first
+    # slot, prefix sum (dead gaussians add nothing and collapse away).
+    mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(
+        live.astype(jnp.int32), mode="drop")
+    ckc = jnp.cumsum(mark) - 1
+    k_iota = jnp.arange(max_instances, dtype=jnp.int32)
+    valid = k_iota < total
+    ckc = jnp.clip(ckc, 0, n - 1)
+
+    x16 = expand_ops.expand_rows(table, ckc, interpret=interpret)  # (16, K)
+
+    e = x16[0].astype(jnp.int32)
+    rectp = x16[1].astype(jnp.int32)
+    miny = x16[2].astype(jnp.int32)
+    rank_k = x16[3].astype(jnp.int32)
+    cx, cy = x16[4], x16[5]
+    ca, cb, cc = x16[6], x16[7], x16[8]
+    thr = x16[9]
+    gid_k = x16[14].astype(jnp.int32)
+    depth_k = x16[15]
+
+    r = k_iota - e
+    w_r = jnp.maximum(rectp & 1023, 1)
+    tx = (rectp >> 10) + r % w_r
+    ty = miny + r // w_r
+    kept = valid & _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px)
+    tile_id = jnp.where(kept, ty * grid_x + tx, num_tiles)
+
+    n_live_total = jnp.sum(kept.astype(jnp.int32))
+    overflow = overflow | (n_live_total > max_live)
+
+    feats = (x16[4], x16[5], x16[6], x16[7], x16[8],
+             x16[10], x16[11], x16[12], x16[13], x16[14])
+    if use_packed:
+        sign = jnp.int32(-(1 << 31))
+        key = ((tile_id << rank_bits) | jnp.where(valid, rank_k, 0)) ^ sign
+        srt = jax.lax.sort((key,) + feats, num_keys=1)
+        key_sorted = srt[0][:max_live] ^ sign
+        tile_sorted = jax.lax.shift_right_logical(key_sorted, rank_bits)
+    else:
+        dkey = jnp.where(valid, depth_k, jnp.inf)
+        srt = jax.lax.sort((tile_id, dkey) + feats, num_keys=2,
+                           is_stable=True)
+        tile_sorted = srt[0][:max_live]
+    feat_rows = jnp.stack([s[:max_live] for s in srt[-10:]], axis=0)
+    gauss_sorted = feat_rows[9].astype(jnp.int32)
+
+    offsets = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    kc = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(kept.astype(jnp.int32))]
+    )
+    idx = jnp.stack(
+        [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],
+        axis=1,
+    )
+    bounds = kc[idx]  # (N, 2)
+    live_count = bounds[:, 1] - bounds[:, 0]
+    live_start = jnp.cumsum(live_count) - live_count
+
+    b = Binning(
+        gauss_id=gauss_sorted,
+        tile_id=tile_sorted,
+        offsets=offsets,
+        num_instances=kc[-1],
+        num_enumerated=total,
+        overflow=overflow,
+        gauss_start=live_start,
+        gauss_count=live_count,
+    )
+    return SortedInstances(binning=b, feat_rows=feat_rows)

@@ -1,0 +1,124 @@
+"""Pallas run-length "expand": decode a compact column table along a
+nondecreasing index vector, out[:, k] = table[:, ck[k]].
+
+TPU-native replacement for the gather XLA emits in the binning/feature
+alignment path (reference duplicateWithKeys reads per-gaussian attributes
+per emitted instance, rasterizer_impl.cu:70-111). XLA's general gather on
+TPU runs at ~7.5 ns/row (2.8 GB/s effective — 0.3% of HBM bandwidth,
+measured at 2M rows); but the instance list's index vector is a run-length
+code — ``ck`` is NONDECREASING and every compact column in range is hit at
+least once — so a block of B consecutive output slots touches at most B
+consecutive table columns. Each grid program DMAs one contiguous
+128-aligned column window (the same (C, K) lane-sliced pattern as the
+blend kernels' feature streams) and selects columns with a one-hot matrix
+on the MXU.
+
+Selection is BIT-EXACT: the one-hot matrix is exact in bf16, the f32 table
+is split into three bf16 limbs (hi/mid/lo cover all 24 mantissa bits, the
+classic Dekker split), and each output element is the sum of one exact
+product per limb — no rounding anywhere (each one-hot column has exactly
+one nonzero, so accumulation adds disjoint-mantissa parts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ALIGN = 128  # column-window DMA start alignment (lane tiling)
+
+
+def _expand_kernel(col0_ref, ck_ref, table_hbm, out_ref, tbuf, sem,
+                   *, block: int, bb: int, nblocks: int):
+    b = pl.program_id(0)
+
+    def dma(slot, blk):
+        c0 = pl.multiple_of(col0_ref[blk], _ALIGN)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(c0, bb)], tbuf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(b == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(b + 1 < nblocks)
+    def _():
+        dma((b + 1) % 2, b + 1).start()
+
+    dma(b % 2, b).wait()
+    tbl = tbuf[b % 2]  # (C, bb) f32
+
+    sel = ck_ref[0, :] - col0_ref[b]  # (B,) values in [0, bb)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bb, block), 0)
+    q = (rows == sel[None, :]).astype(jnp.bfloat16)  # (bb, B) exact one-hot
+
+    hi = tbl.astype(jnp.bfloat16)
+    r1 = tbl - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    dn = (((1,), (0,)), ((), ()))  # (C, bb) @ (bb, B) -> (C, B)
+    kw = dict(preferred_element_type=jnp.float32)
+    out_ref[:, :] = (
+        jax.lax.dot_general(hi, q, dn, **kw)
+        + jax.lax.dot_general(mid, q, dn, **kw)
+        + jax.lax.dot_general(lo, q, dn, **kw)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def expand_rows(table, ck, block: int = 512, interpret: bool = False):
+    """out (C, K) f32 with out[:, k] = table[:, ck[k]].
+
+    table (C, Nc) f32 column-major compact table; ck (K,) int32
+    NONDECREASING with unit-coverage (every value in [ck[0], ck[-1]]
+    present — guaranteed when ck indexes compacted columns of count >= 1).
+    K is padded internally to a multiple of ``block``; callers see lanes
+    [0, K).
+    """
+    c, nc = table.shape
+    k = ck.shape[0]
+    if interpret:
+        # CPU path: XLA gather is fine off-TPU and interpret-mode DMA adds
+        # nothing; keep the contract identical.
+        return table[:, jnp.clip(ck, 0, nc - 1)]
+
+    kp = -(-k // block) * block
+    ckp = jnp.concatenate(
+        [ck, jnp.broadcast_to(ck[-1:], (kp - k,))]) if kp != k else ck
+    ckp = jnp.clip(ckp, 0, nc - 1)
+    bb = block + _ALIGN
+    # pad table columns so the last window's DMA stays in bounds
+    table_p = jnp.concatenate(
+        [table, jnp.zeros((c, bb), table.dtype)], axis=1)
+    nblocks = kp // block
+    col0 = (ckp[::block] // _ALIGN) * _ALIGN  # (nblocks,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda b, *_: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((c, block), lambda b, *_: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, bb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, block=block, bb=bb,
+                          nblocks=nblocks),
+        out_shape=jax.ShapeDtypeStruct((c, kp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(col0, ckp.reshape(1, kp), table_p)
+    return out[:, :k]

@@ -654,101 +654,173 @@ def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def blend_pallas(
-    xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
-    grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
+def _feat_soa_from_rows(feat_rows, chunk):
+    """(10, K) sorted feature rows (binning.build_sorted_instances payload
+    order == the kernels' SoA order) -> (FEAT, K') with zero rows 10..15 and
+    lanes padded to a chunk multiple (superset reads may touch the pad)."""
+    k = feat_rows.shape[1]
+    pad = (-k) % chunk
+    return jnp.pad(feat_rows, ((0, FEAT - feat_rows.shape[0]), (0, pad)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+def splat_pallas(
+    xy, conic, rgb, op, tiles_touched, rect_min, rect_max, cull_thr, depths,
+    grid_x: int, grid_y: int, tile: int, chunk: int,
+    max_instances: int, max_live: int, interpret: bool,
 ):
-    """Differentiable tile compositing. Returns tiles (num_tiles, P, OUTC):
-    cols 0-2 color (no background), col 3 final transmittance.
+    """Differentiable binning + tile compositing, fused so the whole
+    instance path (compaction sort -> expand -> key sort -> kernels) sits
+    inside one custom_vjp whose backward returns per-GAUSSIAN gradients —
+    no XLA gather anywhere (measured ~2.8 GB/s effective; the sort/expand
+    path replaces it).
 
-    gauss_id/offsets: depth-sorted CSR instance list (ops/binning.py).
-    gauss_start/gauss_count (N,): each gaussian's contiguous pre-sort
-    instance range — they locate the per-gaussian segment boundaries of the
-    sorted gradient reduction.
-
-    (Measured dead end: building the sorted feature SoA by carrying the
-    features through binning's lax.sort as extra payloads — ~free as a
-    microbenchmark — cost +38 ms in the full jitted step; the explicit
-    (K, FEAT) row gather below stays.)"""
+    Returns (tiles, aux): tiles (num_tiles, P, OUTC) with cols 0-2 color
+    (no background) and col 3 final transmittance; aux = (num_instances,
+    num_enumerated, overflow) mirroring ops/binning.Binning.
+    """
     out, _ = _blend_fwd(
-        xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
-        grid_x, grid_y, tile, chunk, interpret,
+        xy, conic, rgb, op, tiles_touched, rect_min, rect_max, cull_thr,
+        depths, grid_x, grid_y, tile, chunk, max_instances, max_live,
+        interpret,
     )
     return out
 
 
-def _blend_fwd(xy, conic, rgb, op, gauss_id, offsets, gauss_start,
-               gauss_count, grid_x, grid_y, tile, chunk, interpret):
-    feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
+def _blend_fwd(xy, conic, rgb, op, tiles_touched, rect_min, rect_max,
+               cull_thr, depths, grid_x, grid_y, tile, chunk,
+               max_instances, max_live, interpret):
+    from gaussian_splatting_with_eye_tracking_tpu.ops import binning as binning_ops
+
+    si = binning_ops.build_sorted_instances(
+        xy, conic, rgb, op, tiles_touched, rect_min, rect_max, cull_thr,
+        depths, grid_x, grid_y, max_instances, tile_px=tile,
+        max_live=max_live, interpret=interpret,
+    )
+    b = si.binning
+    feat_soa = _feat_soa_from_rows(si.feat_rows, chunk)
+    offsets = b.offsets
     counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
-    out = _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret)
-    return out, (feat_soa, offsets, counts, out, gauss_start, gauss_count)
+    out = _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk,
+                    interpret)
+    aux = (b.num_instances, b.num_enumerated, b.overflow)
+    res = (feat_soa, offsets, counts, out, b.gauss_start, b.gauss_count)
+    return (out, aux), res
 
 
-def _blend_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
+def _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count):
+    """Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554)
+    with ONE key+payload sort and no gather/scatter: the kernel tagged
+    every written grad column with its gaussian id (GID_ROW; +inf on
+    dead lanes with zero payloads), so sorting by that key groups every
+    gaussian's instance gradients contiguously in id order. Region slots
+    beyond the written area (gaoff[-1]) are unwritten garbage: mask their
+    keys to +inf — their (garbage) payloads then land past every live
+    instance where the boundary positions below never reach."""
+    s_ax = dfeat.shape[1]
+    live = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < gaoff[-1]
+    key = jnp.where(live, dfeat[GID_ROW], jnp.inf)
+    sorted_ = jax.lax.sort(
+        (key,) + tuple(dfeat[j] for j in range(9)), num_keys=1
+    )
+    rows = jnp.stack(sorted_[1:], axis=1)  # (S, 9) row-major for the gather
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows, axis=0)], axis=0
+    )
+    # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
+    # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
+    # exclusive cumsum of emitted counts, and capacity-dropped instances
+    # (pre-sort slot >= max_instances) are exactly the tail beyond
+    # n_live = offsets[-1], so the min() accounts for them. N+1 boundary
+    # ROWS (a lane-axis take of the (9, S) cumsum measured ~3x slower:
+    # XLA's lane gathers transpose internally).
+    n = gauss_start.shape[0]
+    last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
+    pos = jnp.minimum(jnp.concatenate([gauss_start, last]), offsets[-1])
+    at_bounds = csum[pos]  # (N+1, 9) boundary row gather
+    seg = at_bounds[1:] - at_bounds[:-1]  # (N, 9)
+    return seg
+
+
+def _blend_bwd(grid_x, grid_y, tile, chunk, max_instances, max_live,
+               interpret, res, g_all):
+    g_out = g_all[0]  # aux cotangents (int outputs) are symbolic zeros
     feat_soa, offsets, counts, fwd_out, gauss_start, gauss_count = res
     gaoff = grad_region_offsets(offsets, chunk)
     dfeat = _bwd_call(
         feat_soa, offsets, counts, gaoff, g_out, fwd_out,
         grid_x, grid_y, tile, chunk, interpret,
     )
-    s_ax = dfeat.shape[1]
-    # Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554)
-    # with ONE key+payload sort and no gather/scatter: the kernel tagged
-    # every written grad column with its gaussian id (GID_ROW; +inf on
-    # dead lanes with zero payloads), so sorting by that key groups every
-    # gaussian's instance gradients contiguously in id order. Region slots
-    # beyond the written area (gaoff[-1]) are unwritten garbage: mask their
-    # keys to +inf — their (garbage) payloads then land past every live
-    # instance where the boundary positions below never reach.
-    # (Measured in-context alternatives at 1080p/1.5M instances, both
-    # SLOWER despite winning as microbenchmarks: a query-marker two-sort
-    # reduction +21 ms, a (S, 9) sublane-major cumsum + row gather +2 ms —
-    # XLA fusion behaves differently inside the full backward graph, so
-    # keep the lane-major cumsum + column take.)
-    live = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < gaoff[-1]
-    key = jnp.where(live, dfeat[GID_ROW], jnp.inf)
-    sorted_ = jax.lax.sort(
-        (key,) + tuple(dfeat[j] for j in range(9)), num_keys=1
-    )
-    rows = jnp.stack(sorted_[1:], axis=0)  # (9, S) — sublane stack, no relayout
-    csum = jnp.concatenate(
-        [jnp.zeros((9, 1), jnp.float32), jnp.cumsum(rows, axis=1)], axis=1
-    )
-    # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
-    # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
-    # exclusive cumsum of emitted counts, and capacity-dropped instances
-    # (pre-sort slot >= max_instances) are exactly the tail beyond
-    # n_live = offsets[-1], so the min() accounts for them.
-    n = gauss_start.shape[0]
-    last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
-    pos = jnp.minimum(jnp.concatenate([gauss_start, last]), offsets[-1])
-    at_bounds = jnp.take(csum, pos, axis=1)  # (9, N+1) boundary gather
-    seg = (at_bounds[:, 1:] - at_bounds[:, :-1]).T  # (N, 9)
+    seg = _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count)
     return (
         seg[:, 0:2],  # d xy
         seg[:, 2:5],  # d conic
         seg[:, 5:8],  # d rgb
         seg[:, 8],  # d opacity
-        None,  # gauss_id
-        None,  # offsets
-        None,  # gauss_start
-        None,  # gauss_count
+        None,  # tiles_touched
+        None,  # rect_min
+        None,  # rect_max
+        None,  # cull_thr
+        None,  # depths
     )
 
 
-blend_pallas.defvjp(_blend_fwd, _blend_bwd)
+splat_pallas.defvjp(_blend_fwd, _blend_bwd)
 
 
-def render_tiles_pallas(
+# --- explicit-instance-list path (kernel-level reference; arbitrary lists,
+# including hand-built ones in tests; the gather here is XLA's — slow on
+# TPU, fine on CPU and for parity checks) -----------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def blend_pallas(
+    xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
+    grid_x: int, grid_y: int, tile: int, chunk: int, interpret: bool,
+):
+    """Differentiable tile compositing over an EXPLICIT depth-sorted CSR
+    instance list (ops/binning.bin_gaussians). Returns tiles
+    (num_tiles, P, OUTC): cols 0-2 color (no background), col 3 final
+    transmittance. Production rendering uses splat_pallas (fused,
+    gather-free); this entry is the kernels' list-level contract."""
+    out, _ = _blend_list_fwd(
+        xy, conic, rgb, op, gauss_id, offsets, gauss_start, gauss_count,
+        grid_x, grid_y, tile, chunk, interpret,
+    )
+    return out
+
+
+def _blend_list_fwd(xy, conic, rgb, op, gauss_id, offsets, gauss_start,
+                    gauss_count, grid_x, grid_y, tile, chunk, interpret):
+    feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
+    counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    out = _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk,
+                    interpret)
+    return out, (feat_soa, offsets, counts, out, gauss_start, gauss_count)
+
+
+def _blend_list_bwd(grid_x, grid_y, tile, chunk, interpret, res, g_out):
+    feat_soa, offsets, counts, fwd_out, gauss_start, gauss_count = res
+    gaoff = grad_region_offsets(offsets, chunk)
+    dfeat = _bwd_call(
+        feat_soa, offsets, counts, gaoff, g_out, fwd_out,
+        grid_x, grid_y, tile, chunk, interpret,
+    )
+    seg = _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count)
+    return (
+        seg[:, 0:2], seg[:, 2:5], seg[:, 5:8], seg[:, 8],
+        None, None, None, None,
+    )
+
+
+blend_pallas.defvjp(_blend_list_fwd, _blend_list_bwd)
+
+
+def render_tiles_pallas_list(
     xy, conic, rgb, op, binning, grid_x, grid_y, tile, bg,
     chunk: int = 128, interpret: bool | None = None,
 ):
-    """Full-image Pallas renderer; same contract as
-    tile_blend.render_tiles_jnp but takes the Binning tuple. Background
-    compositing and image assembly happen in XLA (autodiff covers their
-    gradients, including d/d bg)."""
+    """Full-image renderer over an explicit Binning (see blend_pallas)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tiles = blend_pallas(
@@ -756,29 +828,55 @@ def render_tiles_pallas(
         binning.gauss_start, binning.gauss_count,
         grid_x, grid_y, tile, chunk, interpret,
     )
+    return _assemble_tiles(tiles, grid_x, grid_y, tile, bg)
+
+
+def _assemble_tiles(tiles, grid_x, grid_y, tile, bg):
     color = tiles[:, :, 0:3]  # (T, P, 3)
     final_t = tiles[:, :, 3]  # (T, P)
     color = color + final_t[:, :, None] * bg[None, None, :]
     color = color.reshape(grid_y, grid_x, tile, tile, 3)
-    color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * tile, grid_x * tile)
+    color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(
+        3, grid_y * tile, grid_x * tile)
     final_t = final_t.reshape(grid_y, grid_x, tile, tile)
-    final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * tile, grid_x * tile)
+    final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(
+        grid_y * tile, grid_x * tile)
     return color, final_t
 
 
+def render_tiles_pallas(
+    prep, xy, grid_x, grid_y, tile, bg, max_instances, max_live,
+    chunk: int = 128, interpret: bool | None = None,
+):
+    """Full-image Pallas renderer from a Preprocessed bundle (``xy`` passed
+    separately so the caller can add the densification-stat offset).
+    Returns (color, final_t, aux) with aux = (num_instances,
+    num_enumerated, overflow). Background compositing and image assembly
+    happen in XLA (autodiff covers their gradients, including d/d bg)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiles, aux = splat_pallas(
+        xy, prep.conics, prep.rgb, prep.opacities, prep.tiles_touched,
+        prep.rect_min, prep.rect_max, prep.cull_thr, prep.depths,
+        grid_x, grid_y, tile, chunk, max_instances, max_live, interpret,
+    )
+    color, final_t = _assemble_tiles(tiles, grid_x, grid_y, tile, bg)
+    return color, final_t, aux
+
+
 def blend_round_pallas(
-    xy, conic, rgb, op, gauss_id, offsets, grid_x, grid_y, tile,
+    feat_soa, offsets, grid_x, grid_y, tile,
     *, stride=1, offx=0, offy=0, chunk: int = 128, interpret: bool | None = None,
     counts_override=None,
 ):
     """Forward-only strided-subgrid compositing for AMR rounds
-    (amr/forward.cu renderCUDA pixel pattern). Returns tiles
-    (num_tiles, (tile/stride)^2, OUTC); no custom_vjp (the reference AMR
-    path is forward-only: its autograd backward is broken and unused,
-    SURVEY.md section 2.2)."""
+    (amr/forward.cu renderCUDA pixel pattern) over a prebuilt sorted SoA
+    (``_feat_soa_from_rows`` of binning.build_sorted_instances feat_rows).
+    Returns tiles (num_tiles, (tile/stride)^2, OUTC); no custom_vjp (the
+    reference AMR path is forward-only: its autograd backward is broken and
+    unused, SURVEY.md section 2.2)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    feat_soa = _sorted_features(xy, conic, rgb, op, gauss_id, chunk)
     if counts_override is None:
         counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
     else:

@@ -71,29 +71,35 @@ def _rasterize_impl(
     grid_x = -(-width // tile)
     grid_y = -(-height // tile)
 
-    b = binning_ops.bin_gaussians(
-        prep, grid_x, grid_y, max_instances, tile_px=tile, max_live=max_live
-    )
-
     if impl == "pallas":
+        # fused gather-free path: binning happens inside the custom_vjp
+        # (ops/pallas_blend.splat_pallas)
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
 
-        color, final_t = pallas_blend.render_tiles_pallas(
-            means2d, prep.conics, prep.rgb, prep.opacities,
-            b, grid_x, grid_y, tile, bg,
+        color, final_t, aux = pallas_blend.render_tiles_pallas(
+            prep, means2d, grid_x, grid_y, tile, bg,
+            max_instances, max_live if max_live is not None else max_instances,
         )
+        num_instances, num_enumerated, overflow = aux
     else:
+        b = binning_ops.bin_gaussians(
+            prep, grid_x, grid_y, max_instances, tile_px=tile,
+            max_live=max_live,
+        )
         color, final_t = tile_blend.render_tiles_jnp(
             means2d, prep.conics, prep.rgb, prep.opacities,
             b.gauss_id, b.offsets, grid_x, grid_y, tile, bg,
             max_per_tile=max_per_tile,
         )
+        num_instances, num_enumerated, overflow = (
+            b.num_instances, b.num_enumerated, b.overflow,
+        )
     color = color[:, :height, :width]
     final_t = final_t[:height, :width]
     return RenderOut(
         color=color, final_t=final_t, radii=prep.radii, means2d=prep.means2d,
-        num_instances=b.num_instances, num_enumerated=b.num_enumerated,
-        overflow=b.overflow,
+        num_instances=num_instances, num_enumerated=num_enumerated,
+        overflow=overflow,
     )
 
 

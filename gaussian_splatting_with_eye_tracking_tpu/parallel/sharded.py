@@ -85,25 +85,25 @@ def _band_render(
         rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
         tiles_touched=tiles_touched.astype(jnp.int32),
     )
-    b = binning_ops.bin_gaussians(
-        local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
-    )
-
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
 
-        color, final_t = pallas_blend.render_tiles_pallas(
-            means2d, local.conics, local.rgb, local.opacities,
-            b, grid_x, grid_y_local, tile,
-            jnp.zeros(3),
+        color, final_t, aux = pallas_blend.render_tiles_pallas(
+            local, means2d, grid_x, grid_y_local, tile, jnp.zeros(3),
+            max_instances_per_band, max_instances_per_band,
         )
+        overflow = aux[2]
     else:
+        b = binning_ops.bin_gaussians(
+            local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
+        )
         color, final_t = tile_blend.render_tiles_jnp(
             means2d, local.conics, local.rgb, local.opacities,
             b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
             jnp.zeros(3), max_per_tile=max_per_tile,
         )
-    return color, final_t, prep.radii, b.overflow[None]
+        overflow = b.overflow
+    return color, final_t, prep.radii, overflow[None]
 
 
 def sharded_render(
@@ -183,25 +183,25 @@ def _band_composite_from_prep(
         rect_max=jnp.stack([prep.rect_max[:, 0], rmax_y], -1),
         tiles_touched=tiles_touched.astype(jnp.int32),
     )
-    b = binning_ops.bin_gaussians(
-        local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
-    )
-
     if impl == "pallas":
         from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
 
-        color, final_t = pallas_blend.render_tiles_pallas(
-            means2d, local.conics, local.rgb, local.opacities,
-            b, grid_x, grid_y_local, tile,
-            jnp.zeros(3),
+        color, final_t, aux = pallas_blend.render_tiles_pallas(
+            local, means2d, grid_x, grid_y_local, tile, jnp.zeros(3),
+            max_instances_per_band, max_instances_per_band,
         )
+        overflow = aux[2]
     else:
+        b = binning_ops.bin_gaussians(
+            local, grid_x, grid_y_local, max_instances_per_band, tile_px=tile
+        )
         color, final_t = tile_blend.render_tiles_jnp(
             means2d, local.conics, local.rgb, local.opacities,
             b.gauss_id, b.offsets, grid_x, grid_y_local, tile,
             jnp.zeros(3), max_per_tile=max_per_tile,
         )
-    return color, final_t, b.overflow[None]
+        overflow = b.overflow
+    return color, final_t, overflow[None]
 
 
 def shard_model_state(mesh: Mesh, state: gm.GaussianModelState) -> gm.GaussianModelState:

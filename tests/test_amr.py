@@ -150,9 +150,12 @@ class TestPallasRound:
                 b.gauss_id, b.offsets, gx, gy, 32, jnp.zeros(3),
                 max_per_tile=512, stride=2, offx=ox, offy=oy,
             )
-            tiles = pallas_blend.blend_round_pallas(
+            feat_soa = pallas_blend._sorted_features(
                 prep.means2d, prep.conics, prep.rgb, prep.opacities,
-                b.gauss_id, b.offsets, gx, gy, 32,
+                b.gauss_id, 64,
+            )
+            tiles = pallas_blend.blend_round_pallas(
+                feat_soa, b.offsets, gx, gy, 32,
                 stride=2, offx=ox, offy=oy, chunk=64, interpret=True,
             )
             pw = 16

@@ -60,13 +60,13 @@ class TestHierarchicalScan:
         want_c, _ = tile_blend.render_tiles_jnp(
             *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=2048
         )
-        got_c, _ = pallas_blend.render_tiles_pallas(
+        got_c, _ = pallas_blend.render_tiles_pallas_list(
             *args, b, gx, gy, 32, BG, chunk=256, interpret=True
         )
         np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
 
         def loss_p(xy):
-            c, _ = pallas_blend.render_tiles_pallas(
+            c, _ = pallas_blend.render_tiles_pallas_list(
                 xy, *args[1:], b, gx, gy, 32, BG, chunk=256, interpret=True)
             return jnp.mean(c ** 2)
 
@@ -103,7 +103,7 @@ class TestPallasForward:
         want_c, want_t = tile_blend.render_tiles_jnp(
             *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=512
         )
-        got_c, got_t = pallas_blend.render_tiles_pallas(
+        got_c, got_t = pallas_blend.render_tiles_pallas_list(
             *args, b, gx, gy, 32, BG, chunk=128, interpret=True
         )
         np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
@@ -118,7 +118,7 @@ class TestPallasForward:
         want_c, _ = tile_blend.render_tiles_jnp(
             *args, b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=512
         )
-        got_c, _ = pallas_blend.render_tiles_pallas(
+        got_c, _ = pallas_blend.render_tiles_pallas_list(
             *args, b, gx, gy, 32, BG, chunk=32, interpret=True
         )
         np.testing.assert_allclose(got_c, want_c, atol=3e-4, rtol=1e-3)
@@ -137,7 +137,7 @@ class TestPallasForward:
         gid = jnp.arange(n, dtype=jnp.int32)
         offsets = jnp.array([0, n], jnp.int32)
         fb = fake_binning(gid, offsets, n)
-        got_c, got_t = pallas_blend.render_tiles_pallas(
+        got_c, got_t = pallas_blend.render_tiles_pallas_list(
             xy, conic, rgb, op, fb, 1, 1, 32, BG, chunk=64, interpret=True
         )
         want_c, want_t = tile_blend.render_tiles_jnp(
@@ -164,7 +164,7 @@ class TestPallasForward:
         fb = fake_binning(gid, offsets, n)
 
         def loss(rgb):
-            c, t = pallas_blend.render_tiles_pallas(
+            c, t = pallas_blend.render_tiles_pallas_list(
                 xy, conic, rgb, op, fb, 1, 1, 32, BG, chunk=64, interpret=True
             )
             return jnp.sum(c)
@@ -182,7 +182,7 @@ class TestPallasGradients:
         inputs = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
 
         def loss_pallas(xy, conic, rgb, op):
-            c, t = pallas_blend.render_tiles_pallas(
+            c, t = pallas_blend.render_tiles_pallas_list(
                 xy, conic, rgb, op, b, gx, gy, 32, BG,
                 chunk=64, interpret=True,
             )
@@ -207,7 +207,7 @@ class TestPallasGradients:
         cam, prep, b, gx, gy = setup_scene(n=100, seed=4, w=32, h=32)
 
         def loss(bg):
-            c, _ = pallas_blend.render_tiles_pallas(
+            c, _ = pallas_blend.render_tiles_pallas_list(
                 prep.means2d, prep.conics, prep.rgb, prep.opacities,
                 b, gx, gy, 32, bg, chunk=64, interpret=True,
             )
@@ -230,7 +230,7 @@ class TestCapacityOverflow:
         inputs = (prep.means2d, prep.conics, prep.rgb, prep.opacities)
 
         def loss_pallas(xy, conic, rgb, op):
-            c, t = pallas_blend.render_tiles_pallas(
+            c, t = pallas_blend.render_tiles_pallas_list(
                 xy, conic, rgb, op, b, gx, gy, 32, BG, chunk=64, interpret=True
             )
             return jnp.sum(c**2)
@@ -280,3 +280,55 @@ class TestRasterizePallasPath:
                 np.asarray(p_), np.asarray(j_), atol=1e-4, rtol=5e-3,
                 err_msg=f"e2e pallas grad mismatch: {name}",
             )
+
+
+class TestFusedInstanceBuilder:
+    def test_matches_bin_gaussians(self):
+        """build_sorted_instances (compaction sort + expand + payload sort)
+        must reproduce bin_gaussians' sorted instance list exactly, and its
+        feature payload rows must equal the explicit gather."""
+        cam, prep, b, gx, gy = setup_scene(n=700, seed=11)
+        si = binning_ops.build_sorted_instances(
+            prep.means2d, prep.conics, prep.rgb, prep.opacities,
+            prep.tiles_touched, prep.rect_min, prep.rect_max, prep.cull_thr,
+            prep.depths, gx, gy, max_instances=1 << 13, tile_px=32,
+            interpret=True,
+        )
+        f = si.binning
+        np.testing.assert_array_equal(np.asarray(f.offsets), np.asarray(b.offsets))
+        np.testing.assert_array_equal(
+            np.asarray(f.tile_id), np.asarray(b.tile_id))
+        n_live = int(b.offsets[-1])
+        np.testing.assert_array_equal(
+            np.asarray(f.gauss_id[:n_live]), np.asarray(b.gauss_id[:n_live]))
+        np.testing.assert_array_equal(
+            np.asarray(f.gauss_start), np.asarray(b.gauss_start))
+        np.testing.assert_array_equal(
+            np.asarray(f.gauss_count), np.asarray(b.gauss_count))
+        assert int(f.num_instances) == int(b.num_instances)
+        assert int(f.num_enumerated) == int(b.num_enumerated)
+        # feature payload rows == explicit gather (bit-exact)
+        want = pallas_blend._sorted_features(
+            prep.means2d, prep.conics, prep.rgb, prep.opacities,
+            b.gauss_id, 128,
+        )
+        got = pallas_blend._feat_soa_from_rows(si.feat_rows, 128)
+        np.testing.assert_array_equal(
+            np.asarray(got[:10, :n_live]), np.asarray(want[:10, :n_live]))
+
+    def test_truncation_max_live(self):
+        cam, prep, b_full, gx, gy = setup_scene(n=700, seed=12)
+        cap = int(b_full.num_instances) // 2
+        b = binning_ops.bin_gaussians(
+            prep, gx, gy, max_instances=1 << 13, max_live=cap)
+        si = binning_ops.build_sorted_instances(
+            prep.means2d, prep.conics, prep.rgb, prep.opacities,
+            prep.tiles_touched, prep.rect_min, prep.rect_max, prep.cull_thr,
+            prep.depths, gx, gy, max_instances=1 << 13, tile_px=32,
+            max_live=cap, interpret=True,
+        )
+        assert bool(si.binning.overflow)
+        np.testing.assert_array_equal(
+            np.asarray(si.binning.offsets), np.asarray(b.offsets))
+        np.testing.assert_array_equal(
+            np.asarray(si.binning.tile_id), np.asarray(b.tile_id))

@@ -103,38 +103,35 @@ def training(
     ema_loss = 0.0
     t_start = time.time()
 
-    for iteration in range(first_iter + 1, opt.iterations + 1):
-        if gui is not None:
-            gui.poll(state, scene, pipe, iteration, opt.iterations)
-        if iteration % 1000 == 0:
-            state = gm.oneup_sh_degree(state, scene.max_sh_degree)
+    # Deferred step bookkeeping: fetching aux.overflow right after dispatch
+    # would drain the async queue every iteration (a full host round-trip
+    # per step). Instead the check for step i runs AFTER step i+1 is
+    # dispatched — its fetch overlaps i+1's execution, keeping the dispatch
+    # queue >= 1 deep — except at host-mutation boundaries (densify, reset,
+    # eval, save, GUI), which resolve synchronously.
+    pending = None  # (iteration, cam, prev_state, step_args, state, aux)
 
-        if not stack:
-            stack = list(rng.permutation(len(cams)))
-        cam = cams[stack.pop()]
-        densify_phase = (
-            iteration < opt.densify_until_iter and iteration >= opt.densify_from_iter
-        )
-        step_args = (
-            *train_lib.camera_arrays(cam.params()), cam.gt(), bg,
-            iteration < opt.densify_until_iter,
-        )
-        prev_state = state
-        state, aux = step_for(cam)(state, *step_args)
-
-        if bool(aux.overflow):
-            # grow capacities and REDO from the pre-step state: an overflowed
-            # step rendered (and differentiated) a truncated instance list
-            cap = _grow(max(int(aux.num_enumerated), cap))
-            cap_live = _grow(max(int(aux.num_instances), cap_live))
+    def _resolve(p):
+        """Overflow redo + capacity adaptation + logging for a dispatched
+        step. Returns (post-step state, redo_happened)."""
+        nonlocal cap, cap_live, shrink_streak, ema_loss
+        it_p, cam_p, prev_p, args_p, state_p, aux_p = p
+        redone = False
+        if bool(aux_p.overflow):
+            # grow capacities and REDO from the pre-step state: an
+            # overflowed step rendered (and differentiated) a truncated
+            # instance list
+            cap = _grow(max(int(aux_p.num_enumerated), cap))
+            cap_live = _grow(max(int(aux_p.num_instances), cap_live))
             shrink_streak = 0
             if not quiet:
-                print(f"[it {iteration}] instance capacity -> "
+                print(f"[it {it_p}] instance capacity -> "
                       f"{cap}/{cap_live} (overflow redo)")
-            state, aux = step_for(cam)(prev_state, *step_args)
+            state_p, aux_p = step_for(cam_p)(prev_p, *args_p)
+            redone = True
         else:
-            ne = int(aux.num_enumerated)
-            ni = int(aux.num_instances)
+            ne = int(aux_p.num_enumerated)
+            ni = int(aux_p.num_instances)
             if ne > 0.9 * cap or ni > 0.9 * cap_live:
                 # grow ahead of overflow
                 cap = _grow(max(int(ne * 1.3), cap))
@@ -151,6 +148,62 @@ def training(
             else:
                 shrink_streak = 0
 
+        ema_loss = 0.4 * float(aux_p.loss) + 0.6 * ema_loss
+        if it_p % 100 == 0 and not quiet:
+            n = int(gm.num_active(state_p))
+            print(
+                f"[it {it_p}/{opt.iterations}] loss={ema_loss:.5f} "
+                f"psnr={float(aux_p.psnr):.2f} points={n} "
+                f"({(time.time()-t_start):.1f}s)"
+            )
+        if tb and it_p % 10 == 0:
+            tb.add_scalar("train_loss_patches/total_loss", float(aux_p.loss), it_p)
+            tb.add_scalar("train_loss_patches/l1_loss", float(aux_p.l1), it_p)
+        return state_p, redone
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if gui is not None:
+            gui.poll(state, scene, pipe, iteration, opt.iterations)
+        if iteration % 1000 == 0:
+            state = gm.oneup_sh_degree(state, scene.max_sh_degree)
+
+        if not stack:
+            stack = list(rng.permutation(len(cams)))
+        cam = cams[stack.pop()]
+        densify_phase = (
+            iteration < opt.densify_until_iter and iteration >= opt.densify_from_iter
+        )
+        step_args = (
+            *train_lib.camera_arrays(cam.params()), cam.gt(), bg,
+            iteration < opt.densify_until_iter,
+        )
+        sync_after = (
+            gui is not None
+            or (iteration < opt.densify_until_iter and (
+                (densify_phase
+                 and iteration % opt.densification_interval == 0)
+                or iteration % opt.opacity_reset_interval == 0
+                or (cfg.white_background
+                    and iteration == opt.densify_from_iter)))
+            or iteration in testing_iterations
+            or iteration in saving_iterations
+            or iteration in checkpoint_iterations
+            or iteration == opt.iterations
+        )
+        prev_state = state
+        state, aux = step_for(cam)(state, *step_args)
+        if pending is not None:
+            fixed, redone = _resolve(pending)
+            if redone:
+                # the step above consumed a truncated predecessor: replay
+                # it on the corrected state (at the grown capacity)
+                prev_state = fixed
+                state, aux = step_for(cam)(prev_state, *step_args)
+        pending = (iteration, cam, prev_state, step_args, state, aux)
+        if sync_after:
+            state, _ = _resolve(pending)
+            pending = None
+
         # density control (reference train.py:110-120)
         if iteration < opt.densify_until_iter:
             if densify_phase and iteration % opt.densification_interval == 0:
@@ -163,18 +216,6 @@ def training(
                 cfg.white_background and iteration == opt.densify_from_iter
             ):
                 state = gm.reset_opacity(state)
-
-        ema_loss = 0.4 * float(aux.loss) + 0.6 * ema_loss
-        if iteration % 100 == 0 and not quiet:
-            n = int(gm.num_active(state))
-            print(
-                f"[it {iteration}/{opt.iterations}] loss={ema_loss:.5f} "
-                f"psnr={float(aux.psnr):.2f} points={n} "
-                f"({(time.time()-t_start):.1f}s)"
-            )
-        if tb and iteration % 10 == 0:
-            tb.add_scalar("train_loss_patches/total_loss", float(aux.loss), iteration)
-            tb.add_scalar("train_loss_patches/l1_loss", float(aux.l1), iteration)
 
         if iteration in testing_iterations:
             _report(scene, state, bg, iteration, tb, impl)
