@@ -21,16 +21,26 @@ from argparse import ArgumentParser
 import numpy as np
 
 
-def chain_timer(render_scalar_fn, args, iters=5):
-    """Measure per-iteration device time of ``render_scalar_fn`` by trip-count
-    differencing (removes the fixed dispatch/fetch overhead)."""
+def chain_timer(fn, x0, iters=5):
+    """Measure per-iteration device time of ``fn`` (x -> x, same
+    shape/dtype) by chaining it ``iters`` times UNROLLED inside one jit and
+    differencing against a single call (removes the fixed dispatch/fetch
+    overhead). Unrolled rather than fori_loop: dynamic-trip-count loops
+    around lax.sort compile pathologically slowly (minutes) on this stack.
+    """
+    import functools
+
     import jax
 
-    f = jax.jit(render_scalar_fn, static_argnums=0)
-    _ = float(f(1, *args))
-    _ = float(f(1 + iters, *args))
-    t1 = time.perf_counter(); _ = float(f(1, *args)); t1 = time.perf_counter() - t1
-    t2 = time.perf_counter(); _ = float(f(1 + iters, *args)); t2 = time.perf_counter() - t2
+    f1 = jax.jit(fn)
+    fr = jax.jit(lambda x: functools.reduce(lambda a, _: fn(a), range(1 + iters), x))
+
+    def drain(y):
+        np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[:1])
+
+    drain(f1(x0)); drain(fr(x0))
+    t1 = time.perf_counter(); drain(f1(x0)); t1 = time.perf_counter() - t1
+    t2 = time.perf_counter(); drain(fr(x0)); t2 = time.perf_counter() - t2
     return max((t2 - t1) / iters, 1e-9)
 
 
@@ -62,27 +72,23 @@ def run_sweep(state, max_sh_degree, active, base=(1920, 1080), ratios=None,
         cam = make_camera(w, h, cam_z=-5.0)
 
         if amr_mode:
-            def scalar_fn(k, xyz):
-                def body(i, acc):
-                    color, _ = amr_ops.render_amr(
-                        xyz, scales, p.rotation, ops, sh, max_sh_degree, cam,
-                        bg, impl=impl, active_mask=active,
-                        max_instances=1 << 20, max_per_tile=2048,
-                    )
-                    return acc + jnp.mean(color)
-                return jax.lax.fori_loop(0, k, body, 0.0)
+            def chain_fn(xyz, cam=cam):
+                color, _ = amr_ops.render_amr(
+                    xyz, scales, p.rotation, ops, sh, max_sh_degree, cam,
+                    bg, impl=impl, active_mask=active,
+                    max_instances=1 << 20, max_per_tile=2048,
+                )
+                return xyz + 1e-30 * jnp.mean(color)
         else:
-            def scalar_fn(k, xyz):
-                def body(i, acc):
-                    out = rast.rasterize(
-                        xyz, scales, p.rotation, ops, sh, cam, bg,
-                        sh_degree=max_sh_degree, max_instances=1 << 20,
-                        max_per_tile=2048, active_mask=active, impl=impl,
-                    )
-                    return acc + jnp.mean(out.color)
-                return jax.lax.fori_loop(0, k, body, 0.0)
+            def chain_fn(xyz, cam=cam):
+                out = rast.rasterize(
+                    xyz, scales, p.rotation, ops, sh, cam, bg,
+                    sh_degree=max_sh_degree, max_instances=1 << 20,
+                    max_per_tile=2048, active_mask=active, impl=impl,
+                )
+                return xyz + 1e-30 * jnp.mean(out.color)
 
-        dt = chain_timer(scalar_fn, (p.xyz,))
+        dt = chain_timer(chain_fn, p.xyz)
         fps = 1.0 / dt
         results.append({"width": w, "height": h, "ratio": ratio,
                         "ms": dt * 1000, "fps": fps})

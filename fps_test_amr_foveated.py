@@ -35,17 +35,15 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
     gaze = jnp.asarray([width / 2.0, height / 2.0])
     radii = jnp.asarray([width / 2.0, width / 4.0, width / 8.0])
 
-    def step0_scalar(k, xyz):
-        def body(i, acc):
-            st = amr_ops.fovea_step0(
-                xyz, scales, p.rotation, ops, sh, max_sh_degree, cam,
-                max_instances=1 << 20, active_mask=active,
-                gaze_xy=gaze, gaze_radii=radii,
-            )
-            return acc + jnp.sum(st.tile_levels)
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0)).astype(jnp.float32)
+    def step0_chain(xyz):
+        st = amr_ops.fovea_step0(
+            xyz, scales, p.rotation, ops, sh, max_sh_degree, cam,
+            max_instances=1 << 20, active_mask=active,
+            gaze_xy=gaze, gaze_radii=radii,
+        )
+        return xyz + 1e-30 * jnp.sum(st.tile_levels).astype(jnp.float32)
 
-    t0 = fps_test.chain_timer(step0_scalar, (p.xyz,))
+    t0 = fps_test.chain_timer(step0_chain, p.xyz)
     state0 = jax.jit(lambda xyz: amr_ops.fovea_step0(
         xyz, scales, p.rotation, ops, sh, max_sh_degree, cam,
         max_instances=1 << 20, active_mask=active, gaze_xy=gaze, gaze_radii=radii,
@@ -55,16 +53,14 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
     print(f"fovea step 0 (preprocess+bin+levels): {t0*1000:.2f} ms")
 
     for rnd_i in range(1, 5):
-        def round_scalar(k, st_color, rnd_i=rnd_i):
+        def round_chain(st_color, rnd_i=rnd_i):
             st = state0._replace(color=st_color)
-            def body(i, acc):
-                s2 = amr_ops.fovea_step_render(
-                    st, rnd_i, gx, gy, 32, impl=impl, max_per_tile=2048
-                )
-                return acc + jnp.mean(s2.color)
-            return jax.lax.fori_loop(0, k, body, 0.0)
+            s2 = amr_ops.fovea_step_render(
+                st, rnd_i, gx, gy, 32, impl=impl, max_per_tile=2048
+            )
+            return s2.color
 
-        dt = fps_test.chain_timer(round_scalar, (state0.color,))
+        dt = fps_test.chain_timer(round_chain, state0.color)
         steps.append({"step": rnd_i, "ms": dt * 1000, "fps": 1.0 / dt})
         print(f"fovea step {rnd_i} (round {rnd_i}): {dt*1000:.2f} ms")
 
