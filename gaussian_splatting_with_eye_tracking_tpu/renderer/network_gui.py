@@ -93,7 +93,11 @@ class NetworkGUI:
                         ).astype(np.uint8)
                     )
                 self.send(img_bytes, scene.info.ply_path and scene.model_path or "")
-                if do_training and iteration < max_iterations:
+                keep_alive = bool(msg.get("keep_alive", False))
+                # reference train.py:60: keep serving while paused
+                # (train=False), and after the last iteration keep the
+                # session open only if the viewer asked to keep_alive
+                if do_training and (iteration < max_iterations or not keep_alive):
                     break
             except Exception:
                 self.conn = None

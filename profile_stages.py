@@ -88,13 +88,19 @@ def stage_fwdbwd(m):
 
 
 def main():
+    # reps kept low: XLA compile time for an unrolled chain of sort-heavy
+    # stages grows superlinearly (9 copies of the instance builder took
+    # >35 min to compile; 3 copies are minutes)
+    reps_override = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     stages = [
         ("preprocess", stage_prep, 9),
-        ("+instances", stage_bin, 9),
-        ("+old-gather", stage_align, 9),
-        ("+forward", stage_fwd, 5),
-        ("+fwd+bwd", stage_fwdbwd, 5),
+        ("+instances", stage_bin, 3),
+        ("+old-gather", stage_align, 3),
+        ("+forward", stage_fwd, 3),
+        ("+fwd+bwd", stage_fwdbwd, 3),
     ]
+    if reps_override:
+        stages = [(n_, f_, reps_override) for n_, f_, _ in stages]
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     print(f"tile={TILE} grid={grid_x}x{grid_y} maxi={MAXI}", flush=True)
     for name, fn, reps in stages:
