@@ -116,6 +116,7 @@ def fovea_step0(
     gaze_xy: Optional[jnp.ndarray] = None,
     gaze_radii: Optional[jnp.ndarray] = None,
     percentiles=(0.25, 0.5, 0.9),
+    chunk: int = 128,
 ) -> AMRState:
     """Step 0: preprocess + bin + level assignment, no rendering
     (amr/rasterizer_impl.cu:470-653 foveaStep==0 path)."""
@@ -143,7 +144,10 @@ def fovea_step0(
         xy=prep.means2d, conics=prep.conics, rgb=prep.rgb,
         opacities=prep.opacities,
         gauss_id=b.gauss_id,
-        feat_soa=pallas_blend._feat_soa_from_rows(si.feat_rows, 128),
+        # pad with the caller's chunk: blend_round_pallas's chunked DMA
+        # reads aligned supersets, so the lane count must be a multiple of
+        # the SAME chunk the render steps use
+        feat_soa=pallas_blend._feat_soa_from_rows(si.feat_rows, chunk),
         offsets=b.offsets,
         tile_levels=levels.astype(jnp.int32),
         tile_levels_last=jnp.zeros_like(levels, dtype=jnp.int32),
@@ -272,7 +276,7 @@ def render_amr(
     state = fovea_step0(
         means3d, scales, quats, opacities, sh, sh_degree, cam,
         tile=tile, max_instances=max_instances, active_mask=active_mask,
-        gaze_xy=gaze_xy, gaze_radii=gaze_radii,
+        gaze_xy=gaze_xy, gaze_radii=gaze_radii, chunk=chunk,
     )
     for rnd in range(1, 5):
         state = fovea_step_render(

@@ -97,74 +97,29 @@ def bin_gaussians(
     )
     cols = [excl, packed_rect, rank]
     if prep.cull_thr is not None:
-        # float columns ride the SAME int32 row gather via bitcast; the
-        # conic is pre-divided by the cull threshold so the per-slot test
-        # is qmin' <= 1 (saves a threshold column)
+        # float columns ride the SAME int32 row gather via bitcast
         bits = lambda x: jax.lax.bitcast_convert_type(
             x.astype(jnp.float32), jnp.int32
         )
-        thr_safe = jnp.maximum(prep.cull_thr, 1e-20)
         cols += [bits(prep.means2d[:, 0]), bits(prep.means2d[:, 1]),
-                 bits(prep.conics[:, 0] / thr_safe),
-                 bits(prep.conics[:, 1] / thr_safe),
-                 bits(prep.conics[:, 2] / thr_safe)]
-    attrs = jnp.stack(cols, axis=1)  # (N, 3|8)
-    a = attrs[g]  # (K, 3|8) single row gather
+                 bits(prep.conics[:, 0]), bits(prep.conics[:, 1]),
+                 bits(prep.conics[:, 2]), bits(prep.cull_thr)]
+    attrs = jnp.stack(cols, axis=1)  # (N, 3|9)
+    a = attrs[g]  # (K, 3|9) single row gather
     r = k - a[:, 0]  # rank within the gaussian's rect, row-major
     w_r = a[:, 1] & 1023
     tx = (a[:, 1] >> 20) + r % w_r
     ty = ((a[:, 1] >> 10) & 1023) + r // w_r
     kept = valid
     if prep.cull_thr is not None:
-        # Per-tile ellipse culling, EXACT w.r.t. the blend output: the blend
-        # gates on alpha = op*exp(-q) >= 1/255 (forward.cu:344-346) with
-        # q = 0.5*(ca dx^2 + cc dy^2) + cb dx dy, so a tile whose whole
-        # pixel rect has q > cull_thr = ln(255 op) contributes zero color
-        # AND zero gradient. q is convex, so its minimum over the rect is
-        # either 0 (center inside) or attained on one of the 4 edges, each
-        # a clamped 1D quadratic minimization. The reference bins the full
-        # bounding RECT of the 3-sigma box (auxiliary.h getRect) and pays
-        # blend cost for tiles the alpha-ellipse never touches; vs the
-        # previous circumscribed-circle test this is strictly tighter for
-        # anisotropic or translucent gaussians.
+        # Per-tile ellipse culling via the SAME function the fused pallas
+        # path uses (_tile_ellipse_kept below) — identical formulation so
+        # the two paths can never disagree on a knife-edge tile.
         unbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-        cx = unbits(a[:, 3])
-        cy = unbits(a[:, 4])
-        ca = unbits(a[:, 5])  # conic pre-divided by cull_thr
-        cb = unbits(a[:, 6])
-        cc = unbits(a[:, 7])
-        thr = 1.0  # normalized out
-        x0 = (tx * tile_px).astype(jnp.float32) - cx  # rect in center frame
-        y0 = (ty * tile_px).astype(jnp.float32) - cy
-        x1 = x0 + (tile_px - 1)
-        y1 = y0 + (tile_px - 1)
-
-        def q_at(dx, dy):
-            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-
-        # edge dx = e: dq/ddy = cc dy + cb e = 0 -> dy* = -cb e / cc
-        cc_s = jnp.where(cc > 1e-12, cc, 1e-12)
-        ca_s = jnp.where(ca > 1e-12, ca, 1e-12)
-        dy_l = jnp.clip(-cb * x0 / cc_s, y0, y1)
-        dy_r = jnp.clip(-cb * x1 / cc_s, y0, y1)
-        dx_b = jnp.clip(-cb * y0 / ca_s, x0, x1)
-        dx_t = jnp.clip(-cb * y1 / ca_s, x0, x1)
-        q_edges = jnp.minimum(
-            jnp.minimum(q_at(x0, dy_l), q_at(x1, dy_r)),
-            jnp.minimum(q_at(dx_b, y0), q_at(dx_t, y1)),
+        kept = valid & _tile_ellipse_kept(
+            tx, ty, unbits(a[:, 3]), unbits(a[:, 4]), unbits(a[:, 5]),
+            unbits(a[:, 6]), unbits(a[:, 7]), unbits(a[:, 8]), tile_px,
         )
-        # corners guard the (numerically impossible, but cheap to cover)
-        # non-PSD case where a 1D edge restriction is concave and the
-        # clamped stationary point is its max rather than min
-        q_corners = jnp.minimum(
-            jnp.minimum(q_at(x0, y0), q_at(x1, y0)),
-            jnp.minimum(q_at(x0, y1), q_at(x1, y1)),
-        )
-        inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
-        qmin = jnp.where(inside, 0.0, jnp.minimum(q_edges, q_corners))
-        # 1e-4 slack absorbs f32 rounding of the edge minimizers so a
-        # borderline pixel can never be culled while the blend keeps it
-        kept = valid & (qmin <= thr + 1e-4)
     tile_id = jnp.where(kept, ty * grid_x + tx, num_tiles)
 
     # Lexicographic (tile, depth) ordering == the reference's 64-bit
@@ -246,10 +201,24 @@ class SortedInstances(NamedTuple):
 
 
 def _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px):
-    """Exact ellipse-vs-tile-rect cull (see bin_gaussians body for the
-    derivation): True iff min over the tile's pixel rect of the Mahalanobis
-    quadratic q = 0.5(ca dx^2 + cc dy^2) + cb dx dy is <= thr, i.e. some
-    pixel of the tile can pass the blend's alpha >= 1/255 gate."""
+    """Exact ellipse-vs-tile-rect cull, shared by BOTH binning paths (the
+    legacy bin_gaussians and the fused build_sorted_instances) so they can
+    never disagree on a knife-edge tile (f32 rounding of two different
+    formulations used to make test_matches_bin_gaussians seed-dependent).
+
+    True iff min over the tile's pixel rect of the Mahalanobis quadratic
+    q = 0.5(ca dx^2 + cc dy^2) + cb dx dy is <= thr = ln(255 op), i.e. some
+    pixel of the tile can pass the blend's alpha >= 1/255 gate
+    (forward.cu:344-346). q is convex, so its minimum over the rect is
+    either 0 (center inside) or attained on one of the 4 edges, each a
+    clamped 1D quadratic minimization; the conic is pre-divided by thr so
+    the comparison is the thr-NORMALIZED qmin' <= 1 + 1e-4 (absolute slack
+    absorbs f32 rounding of the edge minimizers — a borderline pixel can
+    never be culled while the blend keeps it)."""
+    inv_thr = 1.0 / jnp.maximum(thr, 1e-20)
+    ca = ca * inv_thr
+    cb = cb * inv_thr
+    cc = cc * inv_thr
     x0 = (tx * tile_px).astype(jnp.float32) - cx
     y0 = (ty * tile_px).astype(jnp.float32) - cy
     x1 = x0 + (tile_px - 1)
@@ -268,15 +237,16 @@ def _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px):
         jnp.minimum(q_at(x0, dy_l), q_at(x1, dy_r)),
         jnp.minimum(q_at(dx_b, y0), q_at(dx_t, y1)),
     )
+    # corners guard the (numerically impossible, but cheap to cover)
+    # non-PSD case where a 1D edge restriction is concave and the clamped
+    # stationary point is its max rather than min
     q_corners = jnp.minimum(
         jnp.minimum(q_at(x0, y0), q_at(x1, y0)),
         jnp.minimum(q_at(x0, y1), q_at(x1, y1)),
     )
     inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
     qmin = jnp.where(inside, 0.0, jnp.minimum(q_edges, q_corners))
-    # 1e-4 relative slack absorbs f32 rounding of the edge minimizers so a
-    # borderline pixel can never be culled while the blend keeps it
-    return qmin <= thr * (1.0 + 1e-4)
+    return qmin <= 1.0 + 1e-4
 
 
 def build_sorted_instances(

@@ -50,14 +50,14 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "sh_degree", "width", "height", "tile", "max_instances",
-        "max_live", "max_per_tile", "impl", "scale_modifier",
+        "max_live", "max_per_tile", "impl",
     ),
 )
 def _rasterize_impl(
     means3d, scales, quats, opacities, sh, means2d_offset, bg, active_mask,
-    viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
+    viewmatrix, projmatrix, campos, tan_fovx, tan_fovy, scale_modifier,
     *, sh_degree, width, height, tile, max_instances, max_live,
-    max_per_tile, impl, scale_modifier,
+    max_per_tile, impl,
 ):
     cam = CameraParams(
         viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
@@ -155,11 +155,12 @@ def rasterize(
         means3d, scales, quats, opacities, sh, means2d_offset, bg, active_mask,
         cam.viewmatrix, cam.projmatrix, cam.campos,
         jnp.asarray(cam.tan_fovx, jnp.float32), jnp.asarray(cam.tan_fovy, jnp.float32),
+        jnp.asarray(scale_modifier, jnp.float32),
     )
     kwargs = dict(
         sh_degree=sh_degree, width=cam.width, height=cam.height, tile=tile,
         max_instances=max_instances, max_live=max_live,
-        max_per_tile=max_per_tile, impl=impl, scale_modifier=scale_modifier,
+        max_per_tile=max_per_tile, impl=impl,
     )
     if not debug:
         return _rasterize_impl(*args, **kwargs)
@@ -171,7 +172,7 @@ def rasterize(
         names = [
             "means3d", "scales", "quats", "opacities", "sh", "means2d_offset",
             "bg", "active_mask", "viewmatrix", "projmatrix", "campos",
-            "tan_fovx", "tan_fovy",
+            "tan_fovx", "tan_fovy", "scale_modifier",
         ]
         np.savez("snapshot_fw.npz", **{k: np.asarray(v) for k, v in zip(names, args)})
         print("\nAn error occurred in rasterization: inputs dumped to "

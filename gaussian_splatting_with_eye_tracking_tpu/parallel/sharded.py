@@ -274,8 +274,16 @@ def _band_exchange(prep_local, axis, n_bands, grid_y_local, cap_exch,
     valid = k_iota < total
     band = b_lo[g_of] + (k_iota - excl[g_of])
     band = jnp.where(valid, band, n_bands)  # sentinel sorts to the back
-    # stable (band, gaussian) order via one packed key
+    # stable (band, gaussian) order via one packed key; trace-time headroom
+    # guard: bits(n_bands sentinel) + gbits must stay inside int32's sign
+    # bit or the shift corrupts routing order (binning.py's analogous case
+    # falls back to a 2-key sort; band counts are small enough to assert)
     gbits = max(1, (n_local - 1).bit_length())
+    if n_bands.bit_length() + gbits > 31:
+        raise ValueError(
+            f"band-exchange key overflow: {n_bands} bands x {n_local} local "
+            f"rows needs {n_bands.bit_length() + gbits} bits > 31; shrink "
+            "the per-device shard or add an unsigned-order XOR")
     key = (band << gbits) | (g_of & ((1 << gbits) - 1))
     _, slot_sorted, band_sorted = jax.lax.sort(
         (key, g_of, band), num_keys=1)

@@ -38,12 +38,22 @@ class NetworkGUI:
         except Exception:
             pass
 
-    def _read(self) -> dict:
-        msg_len = struct.unpack("I", self.conn.recv(4))[0]
+    def _read_exact(self, n: int) -> bytes:
+        # recv may return fewer bytes than asked (TCP stream semantics) —
+        # loop the 4-byte header read like the body read, and treat a
+        # zero-length recv (peer closed) as a disconnect rather than
+        # silently parsing a short buffer
         data = b""
-        while len(data) < msg_len:
-            data += self.conn.recv(msg_len - len(data))
-        return json.loads(data.decode("utf-8"))
+        while len(data) < n:
+            part = self.conn.recv(n - len(data))
+            if not part:
+                raise ConnectionError("viewer disconnected")
+            data += part
+        return data
+
+    def _read(self) -> dict:
+        msg_len = struct.unpack("I", self._read_exact(4))[0]
+        return json.loads(self._read_exact(msg_len).decode("utf-8"))
 
     def receive(self):
         msg = self._read()
@@ -86,7 +96,11 @@ class NetworkGUI:
                         scene.max_sh_degree, cam.width, cam.height, impl=impl
                     )
                     bg = jnp.zeros(3)
-                    img = render(state, *train_lib.camera_arrays(cam.params()), bg)
+                    # reference train.py:55 passes the viewer's slider value
+                    # into render as scaling_modifer; traced arg, so slider
+                    # changes do not recompile
+                    img = render(state, *train_lib.camera_arrays(cam.params()),
+                                 bg, float(scaling))
                     img_bytes = bytes(
                         np.asarray(
                             jnp.clip(img, 0, 1).transpose(1, 2, 0) * 255

@@ -111,7 +111,8 @@ def make_train_step(
 def make_eval_render(max_sh_degree, width, height, impl="auto", tile=32,
                      max_instances=1 << 20, max_per_tile=2048):
     @jax.jit
-    def eval_render(state, viewmatrix, projmatrix, campos, tan_fovx, tan_fovy, bg):
+    def eval_render(state, viewmatrix, projmatrix, campos, tan_fovx, tan_fovy,
+                    bg, scale_modifier=1.0):
         cam = CameraParams(
             viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
             tan_fovx=tan_fovx, tan_fovy=tan_fovy, width=width, height=height,
@@ -119,6 +120,7 @@ def make_eval_render(max_sh_degree, width, height, impl="auto", tile=32,
         out = renderer.render(
             cam, state, bg, max_sh_degree=max_sh_degree, impl=impl, tile=tile,
             max_instances=max_instances, max_per_tile=max_per_tile,
+            scale_modifier=scale_modifier,
         )
         return out.color
 

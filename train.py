@@ -196,7 +196,11 @@ def training(
             fixed, redone = _resolve(pending)
             if redone:
                 # the step above consumed a truncated predecessor: replay
-                # it on the corrected state (at the grown capacity)
+                # it on the corrected state (at the grown capacity),
+                # re-applying this iteration's pre-step mutations (the SH
+                # bump above ran on the now-discarded stale state)
+                if iteration % 1000 == 0:
+                    fixed = gm.oneup_sh_degree(fixed, scene.max_sh_degree)
                 prev_state = fixed
                 state, aux = step_for(cam)(prev_state, *step_args)
         pending = (iteration, cam, prev_state, step_args, state, aux)
