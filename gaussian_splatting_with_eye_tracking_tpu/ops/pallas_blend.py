@@ -151,22 +151,28 @@ def _dot_sub(a, b):
 _SCAN_BLK = 128  # lane width of one MXU scan matmul
 
 
-def _prefix_scan(x, m128, blk):
+def _prefix_scan(x, m128, blk, carry0=None):
     """Per-lane EXCLUSIVE prefix sums of x (P, C) plus the full-row total
     (P, 1). For C > blk the scan runs hierarchically in blk-wide MXU blocks
     with a running carry: per-instance matmul cost stays P*blk instead of
     P*C, which is what makes 256-wide DMA chunks (half the loop/DMA-wait
-    overhead) affordable."""
+    overhead) affordable. ``carry0`` (P, 1) seeds the scan (the cross-chunk
+    log-transmittance in the blend kernels — folding it here saves a full
+    (P, C) add per chunk); the returned total EXCLUDES the seed."""
     c = x.shape[1]
+    p = x.shape[0]
+    zero = jnp.zeros((p, 1), jnp.float32)
+    if carry0 is None:
+        carry0 = zero
     if c <= blk:
         s = _dot_exactrhs(x, m128)
-        return s, s[:, -1:] + x[:, -1:]
+        return s + carry0, s[:, -1:] + x[:, -1:]
     parts = []
-    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    carry = zero
     for i in range(c // blk):
         xb = x[:, i * blk:(i + 1) * blk]
         s = _dot_exactrhs(xb, m128)
-        parts.append(s + carry)
+        parts.append(s + (carry + carry0))
         carry = carry + (s[:, -1:] + xb[:, -1:])
     return jnp.concatenate(parts, axis=1), carry
 
@@ -198,28 +204,36 @@ def _alpha_terms(f, px, py, ids, lo, hi):
     costs that swamp the ~10 saved VPU passes, and 2-limb coefficient
     splits additionally lose 2e-3 of color accuracy near tile edges).
     ``ids`` are global instance slots; only [lo, hi) belongs
-    to this tile (superset chunks overlap neighboring tiles' slots)."""
-    # per-instance (1, C) constants are one-sublane ops, ~free next to the
-    # (P, C) passes they feed; the FMA-chained form below evaluates the
-    # quadratic in 7 full (P, C) passes vs ~10 for the naive expansion
+    to this tile (superset chunks overlap neighboring tiles' slots).
+
+    VPU pass budget (stage attribution showed both kernels VPU-bound at
+    ~1% of HBM peak): the lane-validity mask and the opacity multiply are
+    folded into ONE (1, C) log-opacity row — alpha_raw =
+    exp(power + log(op)), with log(op) = -inf on lanes outside [lo, hi) so
+    invalid lanes yield alpha_raw = 0 and fail the >= 1/255 gate for free.
+    This trims 3 of the ~17 (P, C) passes (the op multiply, the valid
+    broadcast-AND, and one gate AND) without changing any kept value:
+    exp(power + log(op)) rounds differently from op * exp(power) by <= 1
+    ulp of each, within the 1e-3 cross-impl tolerance every parity test
+    uses (the jnp path keeps the reference's literal op * exp(power))."""
     hca = -0.5 * f[2:3, :]
     ncb = -f[3:4, :]
     hcc = -0.5 * f[4:5, :]
-    op = f[8:9, :]
+    valid = (ids >= lo) & (ids < hi)  # (1, C)
+    # log(op): op rows are padded with zeros for dead lanes -> log(0) =
+    # -inf does the masking; explicitly force invalid (neighbor-tile) lanes
+    logop = jnp.where(valid, jnp.log(f[8:9, :]), -jnp.inf)  # (1, C)
     dx = f[0:1, :] - px  # (P, C)
     dy = f[1:2, :] - py
     # power = -0.5 ca dx^2 - cb dx dy - 0.5 cc dy^2, FMA-chained
     power = (hca * dx + ncb * dy) * dx + (hcc * dy) * dy
-    # no min(power, 0) before exp: `keep` already gates power > 0 lanes
-    # (the reference skips those pixels, forward.cu:337-340), and any
-    # overflow to +inf dies in the final select
-    g = jnp.exp(power)
-    alpha_raw = op * g
+    alpha_raw = jnp.exp(power + logop)
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    valid = (ids >= lo) & (ids < hi)  # (1, C)
-    keep = valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    # the reference skips pixels with power > 0 (forward.cu:337-340) and
+    # alpha < 1/255 (:344-346)
+    keep = (power <= 0.0) & (alpha_raw >= ALPHA_MIN)
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, alpha_raw, g, power, keep
+    return alpha, alpha_raw, power, keep
 
 
 def _prefix_excl_matrix(chunk):
@@ -240,14 +254,25 @@ def _suffix_excl_matrix(chunk):
     return (ii > jj).astype(jnp.bfloat16)
 
 
-def _moment_matrix(pxl, pyl, pixels):
-    """(P, 6) pixel-coordinate moment rows [1, x, y, x^2, x*y, y^2] in the
-    TILE-LOCAL frame; shared by the power expansion (_alpha_terms) and the
-    backward's gradient moment reductions."""
-    ones_p = jnp.ones((pixels, 1), jnp.float32)
+def _moment_matrix_T(pxl, pyl, pixels):
+    """(6, P) pixel-coordinate moment ROWS [1, x, y, x^2, x*y, y^2] in the
+    TILE-LOCAL frame, built directly in transposed layout from (1, P) lane
+    iotas so the backward's moment reduction runs as a NATIVE
+    (6,P)@(P,C) matmul — the previous (P,6)-sublane-contraction form cost
+    ~13 ms/frame in layout shuffling (kernel ablation r3)."""
+    ones_p = jnp.ones((1, pixels), jnp.float32)
     return jnp.concatenate(
-        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
+        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=0
     )
+
+
+def _pixel_coords_T(t, grid_x, pixels, tile):
+    """(1, P) lane-layout pixel centers of this tile (transposed twin of
+    _pixel_coords, stride 1), in the TILE-LOCAL frame."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
+    px = (pix % tile).astype(jnp.float32)
+    py = (pix // tile).astype(jnp.float32)
+    return px, py
 
 
 def _pixel_coords(t, grid_x, pixels, tile, stride=1, offx=0, offy=0):
@@ -265,6 +290,33 @@ def _pixel_coords(t, grid_x, pixels, tile, stride=1, offx=0, offy=0):
     return px, py
 
 
+# AMR round order -> subpixel offset within each 2x2 cell
+# (amr/forward.cu:313-338 Z-pattern: round 1 (0,0), 2 (1,1), 3 (1,0), 4 (0,1))
+_ROUND_OFFX = (0, 1, 1, 0)
+_ROUND_OFFY = (0, 1, 0, 1)
+
+
+def _pixel_coords_rounds(t, grid_x, tile, n_rounds):
+    """Pixel centers for the FUSED AMR kernel: the pixel axis stacks
+    ``n_rounds`` stride-2 subgrids of (tile/2)^2 pixels each, so one kernel
+    pass computes rounds 1..n_rounds while streaming the tile's instance
+    list ONCE (the per-round re-stream was measured 2.5x SLOWER than a
+    plain full-res forward — VERDICT r2 weak #2)."""
+    ox = (t % grid_x) * tile
+    oy = (t // grid_x) * tile
+    pw = tile // 2
+    sub = pw * pw
+    pix = jax.lax.broadcasted_iota(jnp.int32, (n_rounds * sub, 1), 0)
+    rnd = pix // sub
+    sp = pix % sub
+    # offx by round index: (0,1,1,0) = [rnd in {1,2}]; offy: (0,1,0,1) = rnd&1
+    offx = ((rnd == 1) | (rnd == 2)).astype(jnp.int32)
+    offy = rnd & 1
+    px = (ox + (sp % pw) * 2 + offx).astype(jnp.float32)
+    py = (oy + (sp // pw) * 2 + offy).astype(jnp.float32)
+    return px, py
+
+
 def _fwd_kernel(
     off_ref,  # scalar prefetch: (num_tiles+1,) int32, raw CSR offsets
     counts_ref,  # scalar prefetch: (num_tiles,) int32, instance counts (gated ok)
@@ -273,14 +325,17 @@ def _fwd_kernel(
     fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
     *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
-    offx: int = 0, offy: int = 0,
+    offx: int = 0, offy: int = 0, n_rounds: int = 0,
 ):
     t = pl.program_id(0)
     o = off_ref[t]
     n = counts_ref[t]
     start = (o // chunk) * chunk  # aligned superset start
     n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
-    px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
+    if n_rounds > 0:
+        px, py = _pixel_coords_rounds(t, grid_x, tile, n_rounds)
+    else:
+        px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
     blk = min(chunk, _SCAN_BLK)
     prefix_m = _prefix_excl_matrix(blk)  # loop-invariant, hoisted
 
@@ -308,7 +363,7 @@ def _fwd_kernel(
         dma(ci % 2, ci).wait()
         f = fbuf[ci % 2]
         ids = start + ci * chunk + lane_ids
-        alpha, _, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
+        alpha, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
 
         # Transmittance entirely in log space: per-lane exclusive prefix
         # sums of log(1 - alpha) ride the MXU (prefix_m), and exp is
@@ -317,12 +372,16 @@ def _fwd_kernel(
         # saturated tiles (which would zero the backward reconstruction).
         om = 1.0 - alpha  # (P, C)
         lom = jnp.log(om)  # alpha <= 0.99 keeps this finite
-        s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix log-sums
-        w = alpha * jnp.exp(logT + s)  # (P, C) blend weights
-        # color accumulation on the MXU: contract lanes of w with the
-        # chunk's rgb rows -> (P, 3). 3-limb split (no cancellation in a
-        # positive-weighted color sum) halves the HIGHEST-precision passes.
-        rgb_acc = rgb_acc + _dot3_lanes(w, f[5:8, :])
+        # excl prefix log-sums, seeded with the cross-chunk carry
+        s, tot = _prefix_scan(lom, prefix_m, blk, carry0=logT)
+        w = alpha * jnp.exp(s)  # (P, C) blend weights
+        # color accumulation on the MXU in NATIVE (M,K)@(K,N) form: the
+        # lane-contracted dot_general form measured 5.7 ms/frame of layout
+        # shuffling (kernel ablation r3); transposing the tiny (3, C) rgb
+        # block instead and contracting w's lanes against its sublanes is
+        # a plain matmul. 3-limb split (no cancellation in a positive-
+        # weighted color sum) halves the HIGHEST-precision passes.
+        rgb_acc = rgb_acc + _dot3(w, f[5:8, :].T, (((1,), (0,)), ((), ())))
         logT = logT + tot  # full-chunk log-product (same grouping as bwd)
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
@@ -355,6 +414,8 @@ def _bwd_kernel(
     gaoff_ref,  # scalar prefetch: (num_tiles+1,) int32, grad-region offsets
     feat_hbm,  # (FEAT, K), depth-sorted CSR SoA layout
     gimg_ref,  # (1, P, OUTC): cols 0-2 dL/dcolor, 3 dL/dfinalT
+    gimgT_ref,  # (1, OUTC, P): the same, pre-transposed by XLA (native-form
+    #             lhs for the wmom matmul; in-kernel transposes are slow)
     fwdout_ref,  # (1, P, OUTC): forward output (col 3 final_T, col 4 chunks)
     dfeat_hbm,  # out: (FEAT, S) per-instance grads in per-tile regions, HBM
     fbuf,  # scratch (2, FEAT, CHUNK)
@@ -398,16 +459,19 @@ def _bwd_kernel(
         dma_in((n_chunks - 1) % 2, n_chunks - 1).start()
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    # loop-invariant matrices for the MXU reductions: pixel-coordinate
-    # moments (P, 6) and the color cotangent rows (P, 3). The moments use
-    # TILE-LOCAL coordinates: the dx/dy expansion below is frame-invariant,
-    # but with global coordinates the cancellation x_c*y_c*m0 - x_c*my -
-    # y_c*mx + mxy amplifies f32 rounding by ~coord^2 (4e6 at 1080p),
-    # visibly corrupting conic gradients; local coords bound it at tile^2.
+    # loop-invariant matrices for the MXU reductions, both built/read
+    # DIRECTLY in the transposed (rows, P) layout the native (M,K)@(K,N)
+    # matmul form wants (ablation r3: the sublane-contraction forms cost
+    # ~13 + 3 ms/frame of layout shuffling). The moments use TILE-LOCAL
+    # coordinates: the dx/dy expansion below is frame-invariant, but with
+    # global coordinates the cancellation x_c*y_c*m0 - x_c*my - y_c*mx +
+    # mxy amplifies f32 rounding by ~coord^2 (4e6 at 1080p), visibly
+    # corrupting conic gradients; local coords bound it at tile^2.
     ox = ((t % grid_x) * tile).astype(jnp.float32)
     oy = ((t // grid_x) * tile).astype(jnp.float32)
-    moment_m = _moment_matrix(px - ox, py - oy, pixels)  # (P, 6)
-    cot_m = jnp.concatenate([gr, gg, gb], axis=1)  # (P, 3)
+    pxl_t, pyl_t = _pixel_coords_T(t, grid_x, pixels, tile)
+    moment_mT = _moment_matrix_T(pxl_t, pyl_t, pixels)  # (6, P)
+    cot_mT = gimgT_ref[0, 0:3, :]  # (3, P)
     blk = min(chunk, _SCAN_BLK)
     prefix_m = _prefix_excl_matrix(blk)
     suffix_m = _suffix_excl_matrix(blk)
@@ -433,7 +497,7 @@ def _bwd_kernel(
 
         def computed(carry):
             logT_after, S = carry
-            alpha, alpha_raw, g, power, keep = _alpha_terms(
+            alpha, alpha_raw, power, keep = _alpha_terms(
                 f, px, py, ids, o, o + n
             )
 
@@ -450,40 +514,41 @@ def _bwd_kernel(
             T_i = jnp.exp(logT_before + s)  # (P, C)
             w = alpha * T_i  # (P, C)
 
-            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c]: a 3-term broadcast
-            # FMA chain on the VPU (3 passes) — as a rank-3 MXU matmul at
-            # HIGHEST precision this was 6 full MXU streams of P rows
-            G_rgb = (gr * f[5:6, :] + gg * f[6:7, :]) + gb * f[7:8, :]
+            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c] as a NATIVE
+            # (P,3)@(3,C) MXU matmul (3-limb split): replaces a 5-pass
+            # (P,C) broadcast-FMA chain on the pass-count-bound VPU
+            # (ablation r3: each (P,C) VPU pass is ~0.2 us, MXU has slack)
+            G_rgb = _dot3(gimg_ref[0, :, 0:3], f[5:8, :],
+                          (((1,), (0,)), ((), ())))
             u = G_rgb * w
             # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
             # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
             suf_ex, suf_tot = _suffix_scan(u, suffix_m, blk)  # (P, C)
             S_i = S + suf_ex
 
-            # d_alpha folded with its gates in one select: keep already
-            # implies power <= 0 (the reference's pixel-skip gate), and om
-            # replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it at
-            # 0.01 (masked lanes have alpha = 0, om = 1). The 0.99 clamp
-            # gate matches the jnp.minimum vjp of the jnp path. The multiply
-            # by alpha_raw stays INSIDE the select: without min(power, 0) in
-            # _alpha_terms, alpha_raw can be +inf on power > 0 lanes and
-            # 0 * inf outside the select would be NaN.
-            d_alpha = T_i * G_rgb - S_i / om
+            # d_power in the u-reusing form: on every lane the gate keeps
+            # (alpha_raw < 0.99 so alpha == alpha_raw, and keep), d_alpha *
+            # alpha_raw == alpha*T_i*G - alpha*S_i/om == u - (alpha/om)*S_i
+            # — reusing u drops the separate T_i*G and *alpha_raw passes.
+            # om replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it
+            # at 0.01 (masked lanes have alpha = 0 -> ratio 0, u 0). The
+            # 0.99 clamp gate matches the jnp.minimum vjp of the jnp path.
             d_power_px = jnp.where(
-                keep & (alpha_raw < ALPHA_MAX), d_alpha * alpha_raw, 0.0
+                keep & (alpha_raw < ALPHA_MAX),
+                u - (alpha / om) * S_i, 0.0,
             )
 
             # All 9 pixel reductions ride the MXU. The geometric gradients
             # expand dx = x_c - px, dy = y_c - py into pixel-coordinate
             # moments M_k = sum_p d_power[p,c] * poly_k(px,py): one
-            # (6,P)@(P,C) matmul replaces five masked (P,C) product+reduce
-            # passes; dL/dopacity falls out of M_0 since d_op = d_araw*g =
-            # d_power/opacity on kept lanes (alpha_raw = op*g).
+            # (6,P)@(P,C) NATIVE-form matmul replaces five masked (P,C)
+            # product+reduce passes; dL/dopacity falls out of M_0 since
+            # d_op = d_araw*g = d_power/opacity on kept lanes.
             # stays HIGHEST: the e_xy/e_xx cancellation below amplifies any
             # split error by ~tile^2 (measured 6e-3 conic-grad error with a
-            # 2-pass bf16 split), and at (6,P)@(P,C) this matmul is 20x
-            # smaller than the scan matmuls that do get the split.
-            mom = _dot_sub(moment_m, d_power_px)  # (6, C)
+            # 2-pass bf16 split), and ablation shows pass count is not what
+            # this op's cost was — the transposed layout was.
+            mom = _dot(moment_mT, d_power_px)  # (6, C)
             m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
             x_c = f[0:1, :] - ox  # tile-local frame, matching moment_m
             y_c = f[1:2, :] - oy
@@ -497,7 +562,7 @@ def _bwd_kernel(
             e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
             # cotangent-weighted weight sums: positive-weighted, no
             # cancellation -> 3-limb split (half the MXU passes of HIGHEST)
-            wmom = _dot3_sub(cot_m, w)  # (3, C)
+            wmom = _dot3(cot_mT, w, (((1,), (0,)), ((), ())))  # (3, C)
 
             dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
             dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)
@@ -593,9 +658,12 @@ def _sorted_features(xy, conic, rgb, op, gauss_id, chunk):
 
 
 def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
-              stride=1, offx=0, offy=0):
+              stride=1, offx=0, offy=0, n_rounds=0):
     num_tiles = grid_x * grid_y
-    pixels = (tile // stride) * (tile // stride)
+    if n_rounds > 0:
+        pixels = n_rounds * (tile // 2) * (tile // 2)
+    else:
+        pixels = (tile // stride) * (tile // stride)
     assert feat_soa.shape[1] % chunk == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -611,7 +679,8 @@ def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
-                          grid_x=grid_x, stride=stride, offx=offx, offy=offy),
+                          grid_x=grid_x, stride=stride, offx=offx, offy=offy,
+                          n_rounds=n_rounds),
         out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -623,12 +692,16 @@ def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
     num_tiles = grid_x * grid_y
     pixels = tile * tile
     s_grad = feat_soa.shape[1] + num_tiles * chunk  # static bound on regions
+    # pre-transpose the cotangent tiles in XLA (cheap fused transpose) so
+    # the kernel's wmom matmul gets a native-layout (OUTC, P) lhs
+    gimg_t = jnp.swapaxes(gimg_tiles, 1, 2)  # (T, OUTC, P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUTC, pixels), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -646,7 +719,7 @@ def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, counts, gaoff, feat_soa, gimg_tiles, fwd_out)
+    )(offsets, counts, gaoff, feat_soa, gimg_tiles, gimg_t, fwd_out)
 
 
 # ---------------------------------------------------------------------------
@@ -884,4 +957,33 @@ def blend_round_pallas(
     return _fwd_call(
         feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
         stride=stride, offx=offx, offy=offy,
+    )
+
+
+def blend_rounds_fused_pallas(
+    feat_soa, offsets, counts, n_rounds: int, grid_x, grid_y, tile,
+    *, chunk: int = 128, interpret: bool | None = None,
+):
+    """Forward-only FUSED AMR compositing: one kernel pass per tile computes
+    rounds 1..n_rounds stacked along the pixel axis (each a stride-2
+    subgrid), streaming the tile's instance chunks ONCE.
+
+    The reference renders each AMR round in a separate kernel launch that
+    re-reads the tile's whole [o, o+n) instance range
+    (amr/rasterizer_impl.cu:334-460 per fovea step); on TPU that re-stream
+    made the foveated path ~2.5x slower than a plain full-res forward
+    (VERDICT r2, 119.8 ms vs ~45 ms at 1080p). Here a level-L tile's total
+    work is one stream + L*(tile/2)^2 pixel rows — strictly less than the
+    full-res tile for L < 4.
+
+    ``counts`` gates which tiles render (0 = skip, typically
+    where(tile_level == L, n_t, 0) so each tile is processed by exactly one
+    of the 4 per-level calls). Returns (num_tiles, n_rounds*(tile/2)^2,
+    OUTC); rows [r*(tile/2)^2, (r+1)*(tile/2)^2) are round r+1's subgrid in
+    row-major (tile/2)x(tile/2) order."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fwd_call(
+        feat_soa, offsets, counts.astype(jnp.int32), grid_x, grid_y, tile,
+        chunk, interpret, n_rounds=n_rounds,
     )

@@ -34,16 +34,12 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM (reference utils/loss_utils.py:23-63).
-
-    Inputs are (C, H, W) or (N, C, H, W) in [0, 1]. Uses a separable 11x11
-    Gaussian window (sigma=1.5) with SAME padding, matching the reference's
-    depthwise conv2d (groups=channel, padding=window_size//2).
-    """
-    if img1.ndim == 3:
-        img1, img2 = img1[None], img2[None]
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map with SAME zero padding (the reference's depthwise
+    conv2d, groups=channel, padding=window_size//2). Inputs (N, C, H, W);
+    returns (N, C, H, W). Exposed separately so the band-sharded loss can
+    evaluate it on halo-extended bands (parallel/sharded.py) — the map at
+    row y depends only on rows [y-5, y+5]."""
     w = jnp.asarray(_gaussian_window(window_size, 1.5))
 
     def blur(x):
@@ -64,10 +60,22 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     sigma12 = blur(img1 * img2) - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM (reference utils/loss_utils.py:23-63).
+
+    Inputs are (C, H, W) or (N, C, H, W) in [0, 1]. Uses a separable 11x11
+    Gaussian window (sigma=1.5) with SAME padding, matching the reference's
+    depthwise conv2d (groups=channel, padding=window_size//2).
+    """
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    return jnp.mean(ssim_map(img1, img2, window_size))
 
 
 def dssim_l1_loss(img: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2) -> jnp.ndarray:

@@ -99,19 +99,40 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     return R.reshape(q.shape[:-1] + (3, 3))
 
 
+def _quat_rot_cols(q: jnp.ndarray):
+    """(N, 4) wxyz quaternions -> the 9 rotation-matrix entries as (N,)
+    columns (row-major R00..R22), normalizing first. UNPACKED on purpose:
+    (N, 3, 3) arrays put a 3x3 block on the (8, 128)-tiled minor dims, and
+    the autodiff transpose of batched tiny matmuls over that layout
+    measured 12-24 ms/step at N=300k (profile_prep_bwd) vs <1 ms for the
+    same math as elementwise (N,) column arithmetic."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float = 1.0) -> jnp.ndarray:
     """(N,3) activated scales + (N,4) quaternions -> (N,6) upper-triangular
     world covariance [xx, xy, xz, yy, yz, zz]
     (reference computeCov3D, forward.cu:118-152; build_scaling_rotation,
-    utils/general_utils.py:101-110: Sigma = (R S)(R S)^T)."""
-    R = quat_to_rotmat(quats)  # (N,3,3)
-    M = R * (scale_modifier * scales)[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)  # (N,3,3)
-    return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-        axis=-1,
-    )
+    utils/general_utils.py:101-110: Sigma = (R S)(R S)^T = R diag(s^2) R^T).
+
+    Fully unpacked into (N,) column arithmetic — see _quat_rot_cols for why
+    (the (N,3,3) formulation's vjp is 15-30x slower on TPU)."""
+    R00, R01, R02, R10, R11, R12, R20, R21, R22 = _quat_rot_cols(quats)
+    s = scale_modifier * scales
+    u0, u1, u2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    xx = R00 * R00 * u0 + R01 * R01 * u1 + R02 * R02 * u2
+    xy = R00 * R10 * u0 + R01 * R11 * u1 + R02 * R12 * u2
+    xz = R00 * R20 * u0 + R01 * R21 * u1 + R02 * R22 * u2
+    yy = R10 * R10 * u0 + R11 * R11 * u1 + R12 * R12 * u2
+    yz = R10 * R20 * u0 + R11 * R21 * u1 + R12 * R22 * u2
+    zz = R20 * R20 * u0 + R21 * R21 * u1 + R22 * R22 * u2
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def cov3d_to_matrix(cov6: jnp.ndarray) -> jnp.ndarray:
@@ -154,18 +175,45 @@ def ewa_project(
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
     # J = d(image)/d(view) rows: [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
-    W = viewmatrix[:3, :3]  # world->view rotation
-    V = cov3d_to_matrix(cov3d)  # (N,3,3)
-    # M = W V W^T (view-space covariance)
-    M = jnp.einsum("ij,njk,lk->nil", W, V, W)
+    # M = W V W^T (view-space covariance), fully UNPACKED into (N,) column
+    # arithmetic with the constant W entries as scalars: the einsum over
+    # (N,3,3) arrays puts 3x3 blocks on the (8,128)-tiled minor dims and
+    # its autodiff transpose measured ~11 ms/step at N=300k
+    # (profile_prep_bwd); the same math as columns is <1 ms.
+    Wm = viewmatrix[:3, :3]
+    v00, v01, v02 = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    v11, v12, v22 = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+
+    def wv_row(i):
+        # A[i, k] = sum_j W[i, j] V[j, k] for k = 0, 1, 2
+        wi0, wi1, wi2 = Wm[i, 0], Wm[i, 1], Wm[i, 2]
+        return (
+            wi0 * v00 + wi1 * v01 + wi2 * v02,
+            wi0 * v01 + wi1 * v11 + wi2 * v12,
+            wi0 * v02 + wi1 * v12 + wi2 * v22,
+        )
+
+    a0 = wv_row(0)
+    a1 = wv_row(1)
+    a2 = wv_row(2)
+
+    def m_entry(ai, l):
+        return ai[0] * Wm[l, 0] + ai[1] * Wm[l, 1] + ai[2] * Wm[l, 2]
+
+    m00 = m_entry(a0, 0)
+    m01 = m_entry(a0, 1)
+    m02 = m_entry(a0, 2)
+    m11 = m_entry(a1, 1)
+    m12 = m_entry(a1, 2)
+    m22 = m_entry(a2, 2)
     j00 = focal_x * inv_z
     j02 = -focal_x * tx * inv_z2
     j11 = focal_y * inv_z
     j12 = -focal_y * ty * inv_z2
-    # cov2d = J M J^T with J (N,2,3) sparse; expand manually.
-    a = j00 * (j00 * M[..., 0, 0] + j02 * M[..., 2, 0]) + j02 * (j00 * M[..., 0, 2] + j02 * M[..., 2, 2])
-    b = j00 * (j11 * M[..., 0, 1] + j12 * M[..., 0, 2]) + j02 * (j11 * M[..., 2, 1] + j12 * M[..., 2, 2])
-    c = j11 * (j11 * M[..., 1, 1] + j12 * M[..., 2, 1]) + j12 * (j11 * M[..., 1, 2] + j12 * M[..., 2, 2])
+    # cov2d = J M J^T with J (N,2,3) sparse; expand manually (M symmetric).
+    a = j00 * (j00 * m00 + j02 * m02) + j02 * (j00 * m02 + j02 * m22)
+    b = j00 * (j11 * m01 + j12 * m02) + j02 * (j11 * m12 + j12 * m22)
+    c = j11 * (j11 * m11 + j12 * m12) + j12 * (j11 * m12 + j12 * m22)
     return jnp.stack([a + low_pass, b, c + low_pass], axis=-1)
 
 

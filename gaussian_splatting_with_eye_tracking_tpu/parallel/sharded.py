@@ -214,6 +214,66 @@ def _band_composite_from_prep(
     return color, final_t, overflow[None]
 
 
+_SSIM_HALO = 5  # 11x11 window: ssim_map row y depends on rows [y-5, y+5]
+
+
+def _band_local_loss(color_band, final_t_band, gt_band, bg, axis, n_bands,
+                     width, height, band_h, lambda_dssim):
+    """L1 + D-SSIM of the FULL image computed band-locally (VERDICT r2 #5:
+    the previous path all_gather'd the complete image and ran full-image
+    SSIM on every device — D-times redundant loss compute justified by an
+    11 px window).
+
+    Exact w.r.t. the full-image loss: the SSIM map at row y depends only on
+    rows [y-5, y+5] (two radius-5 blurs of pointwise products), so a 5-row
+    ppermute halo exchange suffices, and ppermute's unpaired edges deliver
+    zeros = the conv's SAME zero padding at the image border. Rows/cols
+    beyond the true image are zeroed before the exchange (so windows near
+    the crop boundary see exactly what full-image zero padding sees) and
+    masked out of every mean. Per-device loss compute drops from O(3 H W)
+    to O(3 H W / D) + a 5-row halo; the only collectives are two 5-row
+    ppermutes and three scalar psums.
+
+    Returns (loss, l1, mse, color_band_composited); the scalar terms are
+    identical (up to f32 reduction order) on every device.
+    """
+    from gaussian_splatting_with_eye_tracking_tpu.ops import ssim as ssim_ops_
+
+    d = jax.lax.axis_index(axis)
+    color = color_band + final_t_band[None] * bg[:, None, None]
+    row = d * band_h + jnp.arange(band_h)
+    rmask = (row < height)[None, :, None]
+    cmask = (jnp.arange(color.shape[2]) < width)[None, None, :]
+    mask = (rmask & cmask).astype(color.dtype)
+    color = color * mask
+    gt_band = gt_band * mask
+    both = jnp.concatenate([color, gt_band], axis=0)  # (6, bh, W')
+    h = _SSIM_HALO
+    up = jax.lax.ppermute(both[:, band_h - h:, :], axis,
+                          [(i, i + 1) for i in range(n_bands - 1)])
+    down = jax.lax.ppermute(both[:, :h, :], axis,
+                            [(i, i - 1) for i in range(1, n_bands)])
+    ext = jnp.concatenate([up, both, down], axis=1)  # (6, bh+10, W')
+    smap = ssim_ops_.ssim_map(ext[None, :3], ext[None, 3:])[0]
+    smap = smap[:, h:h + band_h, :]
+    npix = 3.0 * height * width
+    ssim_sum = jax.lax.psum(jnp.sum(smap * mask), axis)
+    diff = color - gt_band
+    l1 = jax.lax.psum(jnp.sum(jnp.abs(diff)), axis) / npix
+    mse = jax.lax.psum(jnp.sum(diff * diff), axis) / npix
+    loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_sum / npix)
+    return loss, l1, mse, color
+
+
+def _pad_gt_bands(gt, n_bands, band_h, width_padded):
+    """(3, H, W) ground truth -> (3, n_bands*band_h, width_padded)
+    zero-padded so it shards evenly into per-device pixel bands
+    (band_h = grid_y_local * tile rows per device)."""
+    hp = n_bands * band_h
+    return jnp.pad(
+        gt, ((0, 0), (0, hp - gt.shape[1]), (0, width_padded - gt.shape[2])))
+
+
 def shard_model_state(mesh: Mesh, state: gm.GaussianModelState) -> gm.GaussianModelState:
     """Place a GaussianModelState with every capacity-axis leaf sharded over
     the mesh (params, Adam moments, densification stats). Scalar leaves
@@ -361,6 +421,7 @@ def make_gauss_sharded_train_step(
     max_exchange_per_band: int = 1 << 16,
     exchange_multicast_bound: int = 0,
     impl: str = "auto",
+    loss_mode: str = "band",
 ):
     """PRIMITIVE-SHARDED training step for scenes too large to replicate
     (BASELINE config 5: 5M+ gaussians).
@@ -377,8 +438,9 @@ def make_gauss_sharded_train_step(
          all_to_all, each row multicast only to the bands its tile rect
          overlaps (_band_exchange): per-device memory and ICI traffic are
          O(rows-overlapping-band) ~ N/D, not O(N),
-      3. bins + composites its tile band, bands are all_gather'd for the
-         SSIM window exactly like the replicated path.
+      3. bins + composites its tile band; the loss is band-local with a
+         5-row SSIM-halo ppermute (_band_local_loss; loss_mode="full"
+         restores the all_gather + full-image SSIM path for parity tests).
 
     Memory at BASELINE config 5 (5M gaussians, 64 devices, 1080p): local
     shard 78k rows; exchanged rows ~1.3 * 78k * 64 B ~ 6.5 MB/device/step
@@ -430,19 +492,27 @@ def make_gauss_sharded_train_step(
             max_per_tile=max_per_tile, grid_x=grid_x, grid_y_local=grid_y_local,
             impl=impl, axis=axis,
         )
-        color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
-        color_full = color_full[:, :height, :width]
-        final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
-        color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
-        l1 = jnp.mean(jnp.abs(color_full - gt))
-        ssim_v = ssim_ops.ssim(color_full, gt)
-        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+        if loss_mode == "band":
+            loss, l1, mse, _ = _band_local_loss(
+                color_band, final_t_band, gt, bg, axis, n_bands,
+                width, height, grid_y_local * tile, opt.lambda_dssim,
+            )
+        else:
+            color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
+            color_full = color_full[:, :height, :width]
+            final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
+            color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
+            l1 = jnp.mean(jnp.abs(color_full - gt))
+            ssim_v = ssim_ops.ssim(color_full, gt)
+            loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+            mse = jnp.mean((color_full - gt) ** 2)
         overflow = overflow | ex_overflow
-        return loss, (l1, color_full, prep_local.radii, overflow)
+        return loss, (l1, mse, prep_local.radii, overflow)
 
+    gt_spec = P(None, axis, None) if loss_mode == "band" else P()
     sharded_loss = jax.shard_map(
         device_loss, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), (P(),) * 5, P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(), (P(),) * 5, gt_spec, P()),
         out_specs=(P(), (P(), P(), P(axis), P(axis))),
         check_vma=False,
     )
@@ -455,13 +525,16 @@ def make_gauss_sharded_train_step(
                       jnp.asarray(tan_fovy, jnp.float32))
         cap = state.params.xyz.shape[0]
         offset0 = jnp.zeros((cap, 2))
+        gt_in = (_pad_gt_bands(gt, n_bands, grid_y_local * tile, grid_x * tile)
+                 if loss_mode == "band" else gt)
 
         def loss_fn(params, offset):
             return sharded_loss(
-                params, offset, state.active, state.sh_degree, cam_arrays, gt, bg
+                params, offset, state.active, state.sh_degree, cam_arrays,
+                gt_in, bg
             )
 
-        (loss, (l1, image, radii, overflow)), (g_params, g_offset) = (
+        (loss, (l1, mse, radii, overflow)), (g_params, g_offset) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, offset0
             )
@@ -477,7 +550,6 @@ def make_gauss_sharded_train_step(
             lambda s: s,
             state,
         )
-        mse = jnp.mean((image - gt) ** 2)
         return state, {
             "loss": loss, "l1": l1,
             "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
@@ -499,9 +571,14 @@ def make_sharded_train_step(
     max_instances_per_band: int = 1 << 18,
     max_per_tile: int = 1024,
     impl: str = "auto",
+    loss_mode: str = "band",
 ):
-    """Full sharded training step: per-band rasterize -> band all_gather ->
-    loss -> backward (grad psum via shard_map transpose) -> Adam."""
+    """Full sharded training step: per-band rasterize -> band-local loss
+    (5-row SSIM halo ppermute, _band_local_loss) -> backward (grad psum via
+    shard_map transpose) -> Adam.
+
+    ``loss_mode="full"`` keeps the previous full-image path (every device
+    all_gathers the image and runs full-image SSIM) for parity testing."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     axis = mesh.axis_names[0]
@@ -510,6 +587,8 @@ def make_sharded_train_step(
     grid_y = -(-height // tile)
     grid_y_pad = -(-grid_y // n_bands) * n_bands
     grid_y_local = grid_y_pad // n_bands
+    band_h = grid_y_local * tile
+    width_pad = grid_x * tile
 
     band_fn = functools.partial(
         _band_render,
@@ -520,27 +599,33 @@ def make_sharded_train_step(
     )
 
     def device_loss(params, offset, active, sh_degree, cam_arrays, gt, bg):
-        """Runs inside shard_map (params replicated, image band local)."""
+        """Runs inside shard_map (params replicated, image band local; in
+        band mode ``gt`` arrives as this device's band slice)."""
         sh = gm.get_sh(params) * renderer.sh_band_mask(sh_degree, max_sh_degree)[None, None, :]
         color_band, final_t_band, radii, overflow = band_fn(
             params.xyz, gm.get_scaling(params), params.rotation,
             gm.get_opacity(params), sh, active, offset, *cam_arrays
         )
-        # assemble the full image on every device (ICI all_gather); the
-        # 11x11 SSIM window needs cross-band halos, and the transpose of
-        # this all_gather is the gradient's band-scatter.
-        color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
-        color_full = color_full[:, :height, :width]
-        final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
-        color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
-        l1 = jnp.mean(jnp.abs(color_full - gt))
-        ssim_v = ssim_ops.ssim(color_full, gt)
-        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
-        return loss, (l1, color_full, radii, overflow)
+        if loss_mode == "band":
+            loss, l1, mse, _ = _band_local_loss(
+                color_band, final_t_band, gt, bg, axis, n_bands,
+                width, height, band_h, opt.lambda_dssim,
+            )
+        else:
+            color_full = jax.lax.all_gather(color_band, axis, axis=1, tiled=True)
+            color_full = color_full[:, :height, :width]
+            final_t_full = jax.lax.all_gather(final_t_band, axis, axis=0, tiled=True)
+            color_full = color_full + final_t_full[None, :height, :width] * bg[:, None, None]
+            l1 = jnp.mean(jnp.abs(color_full - gt))
+            ssim_v = ssim_ops.ssim(color_full, gt)
+            loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+            mse = jnp.mean((color_full - gt) ** 2)
+        return loss, (l1, mse, radii, overflow)
 
+    gt_spec = P(None, axis, None) if loss_mode == "band" else P()
     sharded_loss = jax.shard_map(
         device_loss, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), (P(),) * 5, P(), P()),
+        in_specs=(P(), P(), P(), P(), (P(),) * 5, gt_spec, P()),
         out_specs=(P(), (P(), P(), P(), P(axis))),
         check_vma=False,
     )
@@ -553,13 +638,16 @@ def make_sharded_train_step(
                       jnp.asarray(tan_fovy, jnp.float32))
         cap = state.params.xyz.shape[0]
         offset0 = jnp.zeros((cap, 2))
+        gt_in = (_pad_gt_bands(gt, n_bands, band_h, width_pad)
+                 if loss_mode == "band" else gt)
 
         def loss_fn(params, offset):
             return sharded_loss(
-                params, offset, state.active, state.sh_degree, cam_arrays, gt, bg
+                params, offset, state.active, state.sh_degree, cam_arrays,
+                gt_in, bg
             )
 
-        (loss, (l1, image, radii, overflow)), (g_params, g_offset) = (
+        (loss, (l1, mse, radii, overflow)), (g_params, g_offset) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, offset0
             )
@@ -575,7 +663,6 @@ def make_sharded_train_step(
             lambda s: s,
             state,
         )
-        mse = jnp.mean((image - gt) ** 2)
         return state, {
             "loss": loss, "l1": l1,
             "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),

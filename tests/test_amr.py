@@ -165,3 +165,30 @@ class TestPallasRound:
                 np.asarray(got_c), np.asarray(want_c), atol=3e-4, rtol=1e-3,
                 err_msg=f"round {rnd}",
             )
+
+    def test_fused_matches_stepwise_protocol(self):
+        """render_amr_fused must be output-identical to the 5-step protocol
+        (same step0 state, same levels): one fused stream per tile instead
+        of one stream per (tile, round)."""
+        cam, params = scene(n=500, seed=7, w=128, h=96)
+        want, st_w = amr.render_amr(*params, 0, cam, BG, impl="pallas",
+                                    interpret=True, interpolate_image=True)
+        got, st_g = amr.render_amr_fused(*params, 0, cam, BG,
+                                         interpret=True,
+                                         interpolate_image=True)
+        assert np.array_equal(np.asarray(st_w.tile_levels),
+                              np.asarray(st_g.tile_levels))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_fused_gaze_matches_stepwise(self):
+        cam, params = scene(n=400, seed=8, w=128, h=96)
+        gaze = jnp.array([30.0, 40.0])
+        radii = jnp.array([20.0, 40.0, 70.0])
+        want, _ = amr.render_amr(*params, 0, cam, BG, impl="pallas",
+                                 interpret=True, gaze_xy=gaze,
+                                 gaze_radii=radii)
+        got, _ = amr.render_amr_fused(*params, 0, cam, BG, interpret=True,
+                                      gaze_xy=gaze, gaze_radii=radii)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)

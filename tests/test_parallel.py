@@ -255,3 +255,65 @@ class TestBandExchange:
         # rows, far below the global N the old all_gather materialized
         assert counts.max() < 0.45 * n, counts
         assert counts.sum() >= live.sum()  # every live row reached its band
+
+
+class TestBandLocalLoss:
+    def test_band_vs_full_loss_parity(self):
+        """VERDICT r2 #5: the band-local loss (5-row SSIM-halo ppermute +
+        scalar psums) must reproduce the full-image all_gather loss exactly
+        (up to f32 reduction order), including at crop boundaries (height
+        not a multiple of band rows)."""
+        state, tx, opt = small_state(seed=11)
+        n_dev = 4
+        mesh = make_mesh(n_dev)
+        h, w = 100, 64  # crops: grid_y=4 tiles -> 128 padded rows, h=100
+        cam = make_camera(w, h)
+        bg = jnp.array([0.3, 0.1, 0.2])
+        gt = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(3, h, w)), jnp.float32)
+
+        cam_args = train_lib.camera_arrays(cam)
+        outs = {}
+        for mode in ("band", "full"):
+            step = make_sharded_train_step(
+                mesh, tx, opt, max_sh_degree=0, width=w, height=h,
+                max_instances_per_band=1 << 11, max_per_tile=64, impl="jnp",
+                loss_mode=mode,
+            )
+            s, aux = step(state, *cam_args, gt, bg, True)
+            outs[mode] = (s, aux)
+        for key in ("loss", "l1", "psnr"):
+            assert float(outs["band"][1][key]) == pytest.approx(
+                float(outs["full"][1][key]), rel=1e-5), key
+        np.testing.assert_allclose(
+            np.asarray(outs["band"][0].params.xyz),
+            np.asarray(outs["full"][0].params.xyz), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(outs["band"][0].xyz_grad_accum),
+            np.asarray(outs["full"][0].xyz_grad_accum), atol=1e-6, rtol=1e-4)
+
+    def test_gauss_sharded_band_loss(self):
+        """Band-local loss on the primitive-sharded path too."""
+        state, tx, opt = small_state(seed=12)
+        mesh = make_mesh(4)
+        h, w = 128, 64
+        cam = make_camera(w, h)
+        bg = jnp.zeros(3)
+        gt = jnp.full((3, h, w), 0.4)
+        cam_args = train_lib.camera_arrays(cam)
+        from gaussian_splatting_with_eye_tracking_tpu.parallel.sharded import (
+            shard_model_state,
+        )
+        outs = {}
+        for mode in ("band", "full"):
+            step = make_gauss_sharded_train_step(
+                mesh, tx, opt, max_sh_degree=0, width=w, height=h,
+                max_instances_per_band=1 << 11, max_per_tile=64, impl="jnp",
+                max_exchange_per_band=1 << 9, loss_mode=mode,
+            )
+            s, aux = step(shard_model_state(mesh, state), *cam_args, gt, bg, True)
+            outs[mode] = aux
+        assert float(outs["band"]["loss"]) == pytest.approx(
+            float(outs["full"]["loss"]), rel=1e-5)
+        assert float(outs["band"]["psnr"]) == pytest.approx(
+            float(outs["full"]["psnr"]), rel=1e-4)
