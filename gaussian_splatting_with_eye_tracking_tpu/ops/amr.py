@@ -295,38 +295,62 @@ def render_amr_fused(
     counts = (state.offsets[1:] - state.offsets[:-1]).astype(jnp.int32)
     pw = tile // 2
     sub = pw * pw
-    color = state.color
-    final_t = state.final_t
-    for lvl in range(1, 5):
-        gated = jnp.where(state.tile_levels == lvl, counts, 0)
-        tiles_l = pallas_blend.blend_rounds_fused_pallas(
-            state.feat_soa, state.offsets, gated, lvl, grid_x, grid_y, tile,
-            chunk=chunk, interpret=interpret,
-        )
-        gate = state.tile_levels == lvl
-        gate_px = jnp.repeat(jnp.repeat(gate.reshape(grid_y, grid_x), pw, 0),
-                             pw, 1).reshape(grid_y * pw, grid_x * pw)
-        for r in range(lvl):
-            offx, offy = ROUND_OFFSET[r + 1]
-            blk = tiles_l[:, r * sub:(r + 1) * sub, :]
-            c = blk[:, :, 0:3].reshape(grid_y, grid_x, pw, pw, 3)
-            c = jnp.transpose(c, (4, 0, 2, 1, 3)).reshape(
-                3, grid_y * pw, grid_x * pw)
-            t_ = blk[:, :, 3].reshape(grid_y, grid_x, pw, pw)
-            t_ = jnp.transpose(t_, (0, 2, 1, 3)).reshape(
-                grid_y * pw, grid_x * pw)
-            cur_c = color[:, offy::2, offx::2]
-            cur_t = final_t[offy::2, offx::2]
-            color = color.at[:, offy::2, offx::2].set(
-                jnp.where(gate_px[None], c, cur_c))
-            final_t = final_t.at[offy::2, offx::2].set(
-                jnp.where(gate_px, t_, cur_t))
+    hc, wc = grid_y * pw, grid_x * pw
+    # per-round subgrid images assembled WITHOUT any scatter/gather: the
+    # first fused-assembly draft used strided .at[...].set updates plus the
+    # gather-based interpolate() and spent ~300 ms/frame in XLA
+    # scatter/gather loops; everything below is reshape/transpose/where.
+    lvlmap = jnp.repeat(jnp.repeat(
+        state.tile_levels.reshape(grid_y, grid_x), pw, 0), pw, 1)  # (hc, wc)
+    rounds_c = [jnp.zeros((3, hc, wc)) for _ in range(4)]
+    rounds_t = [jnp.ones((hc, wc)) for _ in range(4)]
+    # ONE kernel call for all tiles and all rounds (each tile streams its
+    # instance list once, computing rounds 1..level only)
+    tiles_all = pallas_blend.blend_levels_fused_pallas(
+        state.feat_soa, state.offsets, counts, state.tile_levels,
+        grid_x, grid_y, tile, chunk=chunk, interpret=interpret,
+    )
+    for r in range(4):
+        gate_px = lvlmap > r  # round r+1 rendered where level >= r+1
+        blk = tiles_all[:, r * sub:(r + 1) * sub, :]
+        c = blk[:, :, 0:3].reshape(grid_y, grid_x, pw, pw, 3)
+        c = jnp.transpose(c, (4, 0, 2, 1, 3)).reshape(3, hc, wc)
+        t_ = blk[:, :, 3].reshape(grid_y, grid_x, pw, pw)
+        t_ = jnp.transpose(t_, (0, 2, 1, 3)).reshape(hc, wc)
+        rounds_c[r] = jnp.where(gate_px[None], c, rounds_c[r])
+        rounds_t[r] = jnp.where(gate_px, t_, rounds_t[r])
+
+    if interpolate_image:
+        # fill rounds beyond the tile's level from the level's source round
+        # (amr/forward.cu:574-650: levels 1-2 copy round 1's pixel, levels
+        # 3-4 copy round 2's) — elementwise selects on the subgrid images
+        src_c = jnp.where((lvlmap >= 3)[None], rounds_c[1], rounds_c[0])
+        src_t = jnp.where(lvlmap >= 3, rounds_t[1], rounds_t[0])
+        for r in range(4):
+            need = (r + 1) > lvlmap
+            rounds_c[r] = jnp.where(need[None], src_c, rounds_c[r])
+            rounds_t[r] = jnp.where(need, src_t, rounds_t[r])
+
+    # interleave the 4 subgrids into the full image: pixel (2yc+oy, 2xc+ox)
+    # comes from the round with offset (ox, oy) — a pure stack + reshape
+    # (ROUND_OFFSET as (ox, oy): r1 (0,0), r2 (1,1), r3 (1,0), r4 (0,1),
+    # so index [oy][ox] -> 0-based round: (0,0)->r1, (0,1)->r3,
+    # (1,0)->r4, (1,1)->r2)
+    # build (3, hc, 2, wc, 2): axis order [c, yc, oy, xc, ox]
+    cc = jnp.stack(
+        [jnp.stack([rounds_c[0], rounds_c[2]], axis=-1),
+         jnp.stack([rounds_c[3], rounds_c[1]], axis=-1)], axis=2)
+    # cc: (3, hc, 2, wc, 2) with axis2 = oy, axis4 = ox
+    color = cc.reshape(3, 2 * hc, 2 * wc)
+    tt = jnp.stack(
+        [jnp.stack([rounds_t[0], rounds_t[2]], axis=-1),
+         jnp.stack([rounds_t[3], rounds_t[1]], axis=-1)], axis=1)
+    final_t = tt.reshape(2 * hc, 2 * wc)
+
     state = state._replace(
         color=color, final_t=final_t,
         tile_levels_last=state.tile_levels,
     )
-    if interpolate_image:
-        state = interpolate(state, grid_x, grid_y, tile)
     out = state.color + state.final_t[None] * bg[:, None, None]
     out = out[:, : cam.height, : cam.width]
     return out, state

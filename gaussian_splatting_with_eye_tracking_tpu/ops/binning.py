@@ -317,6 +317,11 @@ def build_sorted_instances(
 
     # slot -> compact gaussian index: +1 marks at each live gaussian's first
     # slot, prefix sum (dead gaussians add nothing and collapse away).
+    # NOTE: an attempt to resolve this inside the expand kernel from the
+    # compacted excl column (range-test one-hot, no scatter) died on a
+    # Mosaic constraint — HBM slices must be 128-lane aligned, so a
+    # sublane-major (N, 1) excl column cannot be DMA'd without 128x
+    # padding. The XLA scatter costs a measured 2.4 ms at K=1.6M.
     mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(
         live.astype(jnp.int32), mode="drop")
     ckc = jnp.cumsum(mark) - 1

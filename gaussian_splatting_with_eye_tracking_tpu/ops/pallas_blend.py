@@ -317,27 +317,12 @@ def _pixel_coords_rounds(t, grid_x, tile, n_rounds):
     return px, py
 
 
-def _fwd_kernel(
-    off_ref,  # scalar prefetch: (num_tiles+1,) int32, raw CSR offsets
-    counts_ref,  # scalar prefetch: (num_tiles,) int32, instance counts (gated ok)
-    feat_hbm,  # (FEAT, K) f32, ANY/HBM, depth-sorted CSR SoA layout
-    out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
-    fbuf,  # scratch VMEM (2, FEAT, CHUNK)
-    sem,  # DMA sems (2,)
-    *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
-    offx: int = 0, offy: int = 0, n_rounds: int = 0,
-):
-    t = pl.program_id(0)
-    o = off_ref[t]
-    n = counts_ref[t]
-    start = (o // chunk) * chunk  # aligned superset start
-    n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
-    if n_rounds > 0:
-        px, py = _pixel_coords_rounds(t, grid_x, tile, n_rounds)
-    else:
-        px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
-    blk = min(chunk, _SCAN_BLK)
-    prefix_m = _prefix_excl_matrix(blk)  # loop-invariant, hoisted
+def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
+                       px, py, chunk, pixels, blk, prefix_m):
+    """The shared double-buffered chunk-stream + log-space compositing loop
+    (see _fwd_kernel header notes). Returns (chunks_done, logT (P, 1),
+    rgb_acc (P, 3)). Row-independent: ``px``/``py`` may stack any pixel
+    sets (full tiles, strided subgrids, multiple AMR rounds) on the P axis."""
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -400,6 +385,35 @@ def _fwd_kernel(
     @pl.when(ci < n_chunks)
     def _():
         dma(ci % 2, ci).wait()
+
+    return ci, logT, rgb_acc
+
+
+def _fwd_kernel(
+    off_ref,  # scalar prefetch: (num_tiles+1,) int32, raw CSR offsets
+    counts_ref,  # scalar prefetch: (num_tiles,) int32, instance counts (gated ok)
+    feat_hbm,  # (FEAT, K) f32, ANY/HBM, depth-sorted CSR SoA layout
+    out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
+    fbuf,  # scratch VMEM (2, FEAT, CHUNK)
+    sem,  # DMA sems (2,)
+    *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
+    offx: int = 0, offy: int = 0, n_rounds: int = 0,
+):
+    t = pl.program_id(0)
+    o = off_ref[t]
+    n = counts_ref[t]
+    start = (o // chunk) * chunk  # aligned superset start
+    n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
+    if n_rounds > 0:
+        px, py = _pixel_coords_rounds(t, grid_x, tile, n_rounds)
+    else:
+        px, py = _pixel_coords(t, grid_x, pixels, tile, stride, offx, offy)
+    blk = min(chunk, _SCAN_BLK)
+    prefix_m = _prefix_excl_matrix(blk)  # loop-invariant, hoisted
+
+    ci, logT, rgb_acc = _blend_stream_loop(
+        feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk, pixels,
+        blk, prefix_m)
 
     out_ref[0, :, 0:3] = rgb_acc
     out_ref[0, :, 3:4] = jnp.exp(logT)
@@ -781,6 +795,26 @@ def _blend_fwd(xy, conic, rgb, op, tiles_touched, rect_min, rect_max,
     return (out, aux), res
 
 
+def _cumsum_blocked(col, blk=512):
+    """Inclusive cumsum of a 1-D f32 column via a blocked triangular
+    matmul at HIGHEST precision: XLA's native 1-D cumsum at S~2M lowers to
+    a slow loop (~2.5 ms for the 9-column segment-reduce sums); this runs
+    the same reduction as (S/blk, blk)@(blk, blk) MXU passes (~0.1 ms),
+    with per-prefix accuracy at least as good as the sequential form."""
+    s = col.shape[0]
+    pad = (-s) % blk
+    x = jnp.pad(col, (0, pad)).reshape(-1, blk)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    tri = (ii <= jj).astype(jnp.float32)
+    inner = jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32)
+    tot = inner[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (inner + offs[:, None]).reshape(-1)[:s]
+
+
 def _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count):
     """Per-gaussian reduction (the CUDA atomicAdd, backward.cu:523-554)
     with ONE key+payload sort and no gather/scatter: the kernel tagged
@@ -793,12 +827,20 @@ def _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count):
     s_ax = dfeat.shape[1]
     live = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < gaoff[-1]
     key = jnp.where(live, dfeat[GID_ROW], jnp.inf)
+    # zero dead-region payloads (unwritten garbage can be NaN/inf): the
+    # boundary positions never reach them, but the blocked-matmul cumsum
+    # below multiplies every element by its 0/1 triangular weight and
+    # 0 * NaN = NaN would poison whole blocks
     sorted_ = jax.lax.sort(
-        (key,) + tuple(dfeat[j] for j in range(9)), num_keys=1
+        (key,) + tuple(jnp.where(live, dfeat[j], 0.0) for j in range(9)),
+        num_keys=1,
     )
-    rows = jnp.stack(sorted_[1:], axis=1)  # (S, 9) row-major for the gather
+    # 9 independent blocked-matmul cumsums (see _cumsum_blocked), stacked
+    # (S+1, 9) row-major for the boundary row gather below
     csum = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows, axis=0)], axis=0
+        [jnp.zeros((1, 9), jnp.float32),
+         jnp.stack([_cumsum_blocked(c) for c in sorted_[1:]], axis=1)],
+        axis=0,
     )
     # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
     # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
@@ -958,6 +1000,100 @@ def blend_round_pallas(
         feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
         stride=stride, offx=offx, offy=offy,
     )
+
+
+def _fwd_levels_kernel(
+    off_ref,  # scalar prefetch: (num_tiles+1,) int32 CSR offsets
+    counts_ref,  # scalar prefetch: (num_tiles,) int32
+    levels_ref,  # scalar prefetch: (num_tiles,) int32 AMR level 1..4
+    feat_hbm,  # (FEAT, K) f32 depth-sorted CSR SoA
+    out_ref,  # (1, 4*sub, OUTC): round r's subgrid in rows [r*sub,(r+1)*sub)
+    fbuf, sem,
+    *, chunk: int, tile: int, grid_x: int,
+):
+    """ONE kernel pass per tile computing AMR rounds 1..level_t stacked on
+    the pixel-row axis of a SINGLE compositing pipeline (the chunk loop is
+    row-independent, so stacking subgrids costs exactly their row count).
+    The tile's level selects one of four statically-shaped loop variants
+    via pl.when — a level-L tile runs the IDENTICAL pipeline as a
+    full-resolution tile with P = L*(tile/2)^2 rows, so its cost is
+    exactly the L/4 fraction the AMR scheme promises (a first draft
+    branched per ROUND with lax.cond inside the chunk loop and lost the
+    entire saving to 4x matmul/branch granularity). Versus the per-level
+    4-call variant this also kills 3x the per-program floor; versus the
+    reference's per-round launches (amr/rasterizer_impl.cu:334-460) each
+    tile's instance list is streamed once. Output rows beyond the tile's
+    level are left unwritten — callers mask by level."""
+    t = pl.program_id(0)
+    o = off_ref[t]
+    n = counts_ref[t]
+    lvl = levels_ref[t]
+    start = (o // chunk) * chunk
+    n_chunks = jnp.where(n > 0, pl.cdiv(o + n - start, chunk), 0)
+    sub = (tile // 2) * (tile // 2)
+    blk = min(chunk, _SCAN_BLK)
+    prefix_m = _prefix_excl_matrix(blk)
+
+    for level in (1, 2, 3, 4):
+        @pl.when(lvl == level)
+        def _(level=level):
+            pixels = level * sub
+            px, py = _pixel_coords_rounds(t, grid_x, tile, level)
+            ci, logT, rgb_acc = _blend_stream_loop(
+                feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk,
+                pixels, blk, prefix_m)
+            out_ref[0, 0:pixels, 0:3] = rgb_acc
+            out_ref[0, 0:pixels, 3:4] = jnp.exp(logT)
+            out_ref[0, 0:pixels, 4:OUTC] = jnp.zeros(
+                (pixels, OUTC - 4), jnp.float32)
+
+
+def blend_levels_fused_pallas(
+    feat_soa, offsets, counts, levels, grid_x, grid_y, tile,
+    *, chunk: int = 128, interpret: bool | None = None,
+):
+    """Single-call fused foveated compositing (see _fwd_levels_kernel).
+    Returns (num_tiles, 4*(tile/2)^2, OUTC); rows [r*sub, (r+1)*sub) are
+    round r+1's subgrid, VALID ONLY where levels > r (others unwritten)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    num_tiles = grid_x * grid_y
+    sub = (tile // 2) * (tile // 2)
+    if interpret:
+        # interpret mode: run the per-level gated variant (no uninitialized
+        # out-block reads in the CPU emulator) and stitch the same layout
+        parts = []
+        for lvl in range(1, 5):
+            gated = jnp.where(levels == lvl, counts, 0).astype(jnp.int32)
+            parts.append(_fwd_call(
+                feat_soa, offsets, gated, grid_x, grid_y, tile, chunk,
+                True, n_rounds=lvl))
+        out = jnp.zeros((num_tiles, 4 * sub, OUTC), jnp.float32)
+        for lvl, p in zip(range(1, 5), parts):
+            m = (levels == lvl)[:, None, None]
+            out = jnp.where(
+                m, jnp.pad(p, ((0, 0), (0, (4 - lvl) * sub), (0, 0))), out)
+        return out
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, 4 * sub, OUTC), lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_levels_kernel, chunk=chunk, tile=tile,
+                          grid_x=grid_x),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4 * sub, OUTC),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(offsets, counts.astype(jnp.int32), levels.astype(jnp.int32), feat_soa)
 
 
 def blend_rounds_fused_pallas(

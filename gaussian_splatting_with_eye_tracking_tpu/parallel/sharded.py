@@ -214,6 +214,22 @@ def _band_composite_from_prep(
     return color, final_t, overflow[None]
 
 
+def exchange_memory_bytes(n_local: int, n_bands: int, cap_exch: int,
+                          multicast_bound: int = 0) -> int:
+    """Per-device peak memory of one _band_exchange call, in bytes: the
+    enumeration scratch (kmax slots of int32 keys + sort payloads, ~3
+    int32 columns) plus the fixed (n_bands*cap_exch, 16)-f32 send AND recv
+    blocks. This is the memory claim the primitive-sharded path makes vs
+    the O(N) full-row all_gather it replaces (N_global * 16 * 4 bytes per
+    device); asserted at BASELINE config-5 scale in
+    tests/test_parallel.py::TestBandExchange::test_memory_math."""
+    mb = n_bands if multicast_bound <= 0 else min(multicast_bound, n_bands)
+    kmax = n_local * mb if n_bands > 1 else n_local
+    enum_bytes = kmax * 3 * 4
+    block_bytes = 2 * n_bands * cap_exch * _EXF * 4
+    return enum_bytes + block_bytes
+
+
 _SSIM_HALO = 5  # 11x11 window: ssim_map row y depends on rows [y-5, y+5]
 
 

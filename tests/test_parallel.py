@@ -317,3 +317,116 @@ class TestBandLocalLoss:
             float(outs["full"]["loss"]), rel=1e-5)
         assert float(outs["band"]["psnr"]) == pytest.approx(
             float(outs["full"]["psnr"]), rel=1e-4)
+
+
+class TestBandExchangeStress:
+    """VERDICT r2 #8: stress the exchange at its advertised semantics —
+    skewed scenes where single gaussians span many/all bands,
+    multicast_bound below the true span, and N large enough that
+    per-device received rows << N is meaningful."""
+
+    def _run_exchange(self, means, scales, quats, op, sh, cam, n_dev,
+                      cap_exch, multicast_bound=0):
+        from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+            preprocess,
+        )
+
+        mesh = make_mesh(n_dev, axis="gauss")
+
+        def dev_fn(m, s, q, o, shh):
+            prep = preprocess(m, s, q, o, shh, 0, cam, tile=32)
+            recv, ovf = parallel_sharded._band_exchange(
+                prep, "gauss", n_dev, 1, cap_exch,
+                multicast_bound=multicast_bound)
+            return recv, ovf[None]
+
+        recv, ovf = jax.shard_map(
+            dev_fn, mesh=mesh, in_specs=(P("gauss"),) * 5,
+            out_specs=(P("gauss"), P("gauss")), check_vma=False,
+        )(means, scales, quats, op, sh)
+        return np.asarray(recv), np.asarray(ovf)
+
+    def test_skewed_all_band_spanners(self):
+        """A scene where a slice of gaussians is huge (vertical extent
+        covering every band): exact multicast (bound=0) must deliver them
+        to ALL bands; a too-small multicast_bound must raise the overflow
+        flag rather than silently truncate."""
+        from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+            preprocess,
+        )
+
+        n_dev = 8
+        h = 32 * n_dev
+        cam = make_camera(64, h)
+        n = 512
+        means, scales, quats, op, sh = make_random_gaussians(n, seed=31)
+        # make the first 32 gaussians giant: scales exp(-0.3) at z ~ camera
+        big = jnp.full((32, 3), 1.2)
+        scales = scales.at[:32].set(big)
+        cap = 1024
+
+        recv, ovf = self._run_exchange(means, scales, quats, op, sh, cam,
+                                       n_dev, cap, multicast_bound=0)
+        assert not ovf.any()
+        prep_full = jax.tree.map(np.asarray, preprocess(
+            means, scales, quats, op, sh, 0, cam, tile=32))
+        live = prep_full.tiles_touched > 0
+        spans = np.where(live, prep_full.rect_max[:, 1] - 1
+                         - prep_full.rect_min[:, 1] + 1, 0)
+        assert spans.max() == n_dev, "fixture must contain all-band spanners"
+        recv = recv.reshape(n_dev, n_dev * cap, 16)
+        counts = (recv[:, :, 15] > 0.5).sum(axis=1)
+        for d in range(n_dev):
+            inter = live & (prep_full.rect_min[:, 1] <= d) & (
+                prep_full.rect_max[:, 1] - 1 >= d)
+            assert counts[d] == inter.sum()
+        # multicast total = sum of spans, NOT n_live (spanners multicast)
+        assert counts.sum() == spans.sum() > live.sum()
+
+        # bound below the real span -> overflow flag on the owning device
+        _, ovf2 = self._run_exchange(means, scales, quats, op, sh, cam,
+                                     n_dev, cap, multicast_bound=2)
+        assert ovf2.any(), "span > multicast_bound must flag, not truncate"
+
+    def test_large_n_recv_is_band_local(self):
+        """N = 8192 across 8 devices with mostly-local gaussians: every
+        device's received rows must be FAR below N (the whole point vs the
+        full all_gather), while the union still covers every live row."""
+        from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+            preprocess,
+        )
+
+        n_dev = 8
+        h = 32 * n_dev
+        cam = make_camera(64, h)
+        n = 8192
+        means, scales, quats, op, sh = make_random_gaussians(
+            n, seed=32, scale_range=(-5.0, -3.5))
+        cap = 1 << 11
+        recv, ovf = self._run_exchange(means, scales, quats, op, sh, cam,
+                                       n_dev, cap)
+        assert not ovf.any()
+        prep_full = jax.tree.map(np.asarray, preprocess(
+            means, scales, quats, op, sh, 0, cam, tile=32))
+        live = prep_full.tiles_touched > 0
+        recv = recv.reshape(n_dev, n_dev * cap, 16)
+        counts = (recv[:, :, 15] > 0.5).sum(axis=1)
+        assert counts.sum() >= live.sum()
+        assert counts.max() < 0.3 * n, counts  # rows/device << N
+        # (the memory-win assertion lives in test_memory_math_config5: at
+        # toy N the fixed capacity blocks dominate and the comparison is
+        # meaningless)
+
+    def test_memory_math_config5(self):
+        """BASELINE config 5 (5M gaussians, 64 devices): the exchange's
+        per-device memory must be megabytes, not the 320 MB the full-row
+        all_gather costs — asserted in code, not a docstring."""
+        n_global, n_dev = 5_000_000, 64
+        n_local = n_global // n_dev
+        # capacity ~1.3x the uniform share of band-overlapping rows
+        cap_exch = int(1.3 * n_local / n_dev) + 256
+        with_bound = parallel_sharded.exchange_memory_bytes(
+            n_local, n_dev, cap_exch, multicast_bound=4)
+        all_gather_bytes = n_global * 16 * 4  # 320 MB
+        assert with_bound < 20 * 2**20, with_bound  # < 20 MB/device
+        assert with_bound < all_gather_bytes / 15
