@@ -41,7 +41,9 @@ def send_view_request(port, width=32, height=32, train=False):
         "view_projection_matrix": proj_colmajor,
     }
     payload = json.dumps(msg).encode()
-    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    # 60 s: the first poll jit-compiles the eval render (~10-25 s on CPU);
+    # a 10 s recv timeout raced that compile and flaked ~15% of runs
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
     s.sendall(struct.pack("I", len(payload)))
     s.sendall(payload)
     img = b""
@@ -81,7 +83,7 @@ class TestNetworkGUI:
             gui.poll(state, scene, None, iteration=1, max_iterations=10)
             if not t.is_alive():
                 break
-        t.join(timeout=15)
+        t.join(timeout=60)
         assert not t.is_alive()
         assert len(result["img"]) == 32 * 32 * 3
         arr = np.frombuffer(result["img"], np.uint8).reshape(32, 32, 3)
