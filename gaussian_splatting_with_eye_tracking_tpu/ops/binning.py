@@ -161,7 +161,7 @@ def bin_gaussians(
     # kept mask plus one small (N, 2) gather. These locate each gaussian's
     # segment boundaries in the backward's sorted-by-id gradient reduction.
     kc = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(kept.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _cumsum_i32_blocked(kept.astype(jnp.int32))]
     )
     idx = jnp.stack(
         [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],
@@ -249,6 +249,28 @@ def _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px):
     return qmin <= 1.0 + 1e-4
 
 
+def _cumsum_i32_blocked(col, blk=512):
+    """Inclusive cumsum of a 1-D i32 count column via blocked triangular
+    MXU matmul. XLA's native 1-D cumsum at K~1.6M lowers to a slow
+    log-depth loop (~2 ms measured in the stage table, ~60x off roofline);
+    the same reduction as (K/blk, blk)@(blk, blk) f32 matmuls runs in
+    ~0.1 ms. Counts are 0/1 flags whose prefix sums stay < 2^24, so f32
+    accumulation at HIGHEST precision is exact."""
+    s = col.shape[0]
+    pad = (-s) % blk
+    x = jnp.pad(col, (0, pad)).astype(jnp.float32).reshape(-1, blk)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    tri = (ii <= jj).astype(jnp.float32)
+    inner = jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    tot = inner[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (inner + offs[:, None]).reshape(-1)[:s].astype(jnp.int32)
+
+
 def build_sorted_instances(
     means2d, conics, rgb, opacities, tiles_touched, rect_min, rect_max,
     cull_thr, depths, grid_x: int, grid_y: int, max_instances: int,
@@ -324,7 +346,7 @@ def build_sorted_instances(
     # padding. The XLA scatter costs a measured 2.4 ms at K=1.6M.
     mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(
         live.astype(jnp.int32), mode="drop")
-    ckc = jnp.cumsum(mark) - 1
+    ckc = _cumsum_i32_blocked(mark) - 1
     k_iota = jnp.arange(max_instances, dtype=jnp.int32)
     valid = k_iota < total
     ckc = jnp.clip(ckc, 0, n - 1)
@@ -372,7 +394,7 @@ def build_sorted_instances(
     ).astype(jnp.int32)
 
     kc = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(kept.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _cumsum_i32_blocked(kept.astype(jnp.int32))]
     )
     idx = jnp.stack(
         [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],

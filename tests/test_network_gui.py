@@ -5,6 +5,7 @@ import json
 import socket
 import struct
 import threading
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -78,11 +79,13 @@ class TestNetworkGUI:
 
         t = threading.Thread(target=client)
         t.start()
-        # poll like the train loop does until the client is served
-        for _ in range(100):
+        # Poll like the train loop does until the client is served. A fixed
+        # poll count races the client thread's connect under load (100 fast
+        # polls can complete before the OS even schedules the client), so
+        # keep polling while the client is alive, bounded by a deadline.
+        deadline = time.time() + 120
+        while t.is_alive() and time.time() < deadline:
             gui.poll(state, scene, None, iteration=1, max_iterations=10)
-            if not t.is_alive():
-                break
         t.join(timeout=60)
         assert not t.is_alive()
         assert len(result["img"]) == 32 * 32 * 3
