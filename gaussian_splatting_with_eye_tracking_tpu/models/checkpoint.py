@@ -1,10 +1,21 @@
 """Training checkpoints (reference train.py:127-129, capture/restore
 scene/gaussian_model.py:61-93).
 
-Format: a pickle of the numpy-ified GaussianModelState pytree + iteration,
-written atomically. Orbax is used when available for async multi-host
-checkpointing (TPU pods); the pickle format is the portable fallback and the
-on-disk analog of the reference's ``torch.save((capture(), iter))``.
+Two interchangeable on-disk formats:
+
+- **pickle** (``save_checkpoint`` / ``load_checkpoint``): a single-file
+  pickle of the numpy-ified GaussianModelState pytree + iteration, written
+  atomically — the portable analog of the reference's
+  ``torch.save((capture(), iter))``. Single-host only.
+- **orbax** (``save_checkpoint_orbax`` / ``load_checkpoint_orbax``): a
+  checkpoint DIRECTORY written through ``orbax.checkpoint``. In a
+  ``jax.distributed`` multi-process run every process must call save/load
+  (orbax coordinates the write and barriers internally); pass
+  ``async_save=True`` to overlap serialization with training and call
+  ``.wait_until_finished()`` (or ``close_async``) before exit.
+
+``train.py`` picks orbax automatically when running multi-process (see
+``parallel/multihost.py``) and pickle otherwise.
 """
 
 from __future__ import annotations
@@ -12,7 +23,7 @@ from __future__ import annotations
 import os
 import pickle
 import tempfile
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -44,3 +55,103 @@ def load_checkpoint(path: str) -> Tuple[GaussianModelState, int]:
 
     state = jax.tree.map(jnp.asarray, payload["state"])
     return state, payload["iteration"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax: async, multi-host-ready checkpoint directories
+# ---------------------------------------------------------------------------
+
+_async_ckptr = None  # process-wide AsyncCheckpointer (owns a barrier pool)
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    import orbax.checkpoint as ocp
+
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def save_checkpoint_orbax(
+    path: str,
+    state: GaussianModelState,
+    iteration: int,
+    *,
+    async_save: bool = False,
+) -> None:
+    """Write ``state`` + ``iteration`` as an orbax checkpoint directory.
+
+    Multi-host: call from EVERY process of a ``jax.distributed`` run; orbax
+    writes each process's addressable shards and barriers on completion.
+    ``async_save`` returns as soon as the on-device arrays are snapshotted;
+    call :func:`wait_for_async_saves` before relying on the files (train.py
+    does at exit).
+
+    Layout: orbax stores the FLAT leaves of the state pytree (arbitrary
+    nesting incl. the optax state serializes without custom-node handlers);
+    the treedef rides alongside as a tiny pickle written by process 0, so
+    restore rebuilds the exact NamedTuple structure.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    leaves, treedef = jax.tree.flatten(state)
+    payload = {"leaves": leaves, "iteration": np.int64(iteration)}
+    if async_save:
+        ckptr = _get_async_checkpointer()
+    else:
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    ckptr.save(path, payload, force=True)
+    if jax.process_index() == 0:
+        # sibling file, NOT inside the dir: orbax commits async saves by
+        # atomically renaming its tmp dir onto ``path``, which must not
+        # pre-exist
+        d = os.path.dirname(path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(treedef, f, protocol=4)
+        os.replace(tmp, path + ".treedef.pkl")
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async orbax save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> Tuple[GaussianModelState, int]:
+    """Restore a checkpoint written by :func:`save_checkpoint_orbax`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    payload = ckptr.restore(path)
+    with open(path + ".treedef.pkl", "rb") as f:
+        treedef = pickle.load(f)
+    leaves = payload["leaves"]
+    if isinstance(leaves, dict):  # orbax may restore lists as index-keyed dicts
+        leaves = [leaves[k] for k in sorted(leaves, key=int)]
+    state = jax.tree.unflatten(treedef, leaves)
+    import jax.numpy as jnp
+
+    state = jax.tree.map(jnp.asarray, state)
+    return state, int(payload["iteration"])
+
+
+def latest_checkpoint(model_dir: str, prefix: str = "chkpnt") -> Optional[str]:
+    """Find the newest ``<prefix><iter>`` checkpoint (pickle file or orbax
+    dir) under ``model_dir`` (reference searchForMaxIteration,
+    utils/system_utils.py:26-28)."""
+    if not os.path.isdir(model_dir):
+        return None
+    best, best_it = None, -1
+    for name in os.listdir(model_dir):
+        if not name.startswith(prefix):
+            continue
+        tail = name[len(prefix):].split(".")[0]
+        if tail.isdigit() and int(tail) > best_it:
+            best_it = int(tail)
+            best = os.path.join(model_dir, name)
+    return best

@@ -67,7 +67,7 @@ def bin_gaussians(
     # scatter a +1 at every gaussian's start slot and prefix-sum: zero-count
     # gaussians collapse onto the next start and the cumsum skips them.
     mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(1, mode="drop")
-    g = jnp.cumsum(mark) - 1
+    g = _cumsum_i32_blocked(mark) - 1
     valid = k < total
     g = jnp.clip(jnp.where(valid, g, 0), 0, tiles.shape[0] - 1)
 
@@ -257,6 +257,13 @@ def _cumsum_i32_blocked(col, blk=512):
     ~0.1 ms. Counts are 0/1 flags whose prefix sums stay < 2^24, so f32
     accumulation at HIGHEST precision is exact."""
     s = col.shape[0]
+    # exactness precondition: every prefix sum must stay < 2^24 (f32
+    # integer range). Callers sum 0/1 flags over K = max_instances slots,
+    # so bounding the column LENGTH bounds every prefix. Fail loudly
+    # rather than silently corrupting segment boundaries (ADVICE r3).
+    assert s < (1 << 24), (
+        f"_cumsum_i32_blocked: column length {s} >= 2^24 breaks f32 "
+        "exactness; shard the column or use jnp.cumsum")
     pad = (-s) % blk
     x = jnp.pad(col, (0, pad)).astype(jnp.float32).reshape(-1, blk)
     ii = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)

@@ -65,6 +65,35 @@ ALPHA_MAX = 0.99
 T_MIN = 1e-4
 LOG_T_MIN = math.log(1e-4)
 
+# Static kernel-tuning knobs, read at TRACE time (rebuild jits after
+# changing; profile_tune.py measures the combos on hardware). Values pick
+# the MXU precision strategy per matmul: "highest" = f32 6-pass,
+# "dot3" = 3-limb split-bf16 (~2^-22), "bf16" = single bf16 pass (~2^-8).
+# Defaults = the measured r4 production configuration.
+TUNE = {
+    "color": "dot3",  # fwd rgb accumulation (P,C)@(C,3)
+    "grgb": "dot3",  # bwd G_rgb (P,3)@(3,C)
+    "mom": "highest",  # bwd pixel-moment reduction (6,P)@(P,C)
+    "wmom": "dot3",  # bwd cotangent-weight sums (3,P)@(P,C)
+    "nbuf": 2,  # fwd DMA pipeline depth
+    # fwd color-matmul deferral (bwd-geom-style softpipe): measured WORSE
+    # in the fwd (15.2 -> 16.7 ms) — the (P,C) weight stash round-trip
+    # costs more than the smaller color bubble it recovers; the bwd keeps
+    # its deferral (33.1 -> 26.0 ms) where the moment-matmul bubble is 8.8
+    "defer_color": False,
+}
+
+
+def _dot_tuned(mode, a, b, dn):
+    if mode == "highest":
+        return jax.lax.dot_general(
+            a, b, dn, precision=_EXACT, preferred_element_type=jnp.float32)
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32)
+    return _dot3(a, b, dn)
+
 FEAT = 16  # SoA rows (10 used; Mosaic requires HBM-slice sublane dims to be
 # multiples of 8, so 12 is not expressible as a DMA block)
 GID_ROW = 9  # feature/grad row carrying the gaussian id (f32-exact < 2^24)
@@ -318,11 +347,21 @@ def _pixel_coords_rounds(t, grid_x, tile, n_rounds):
 
 
 def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
-                       px, py, chunk, pixels, blk, prefix_m):
+                       px, py, chunk, pixels, blk, prefix_m,
+                       cwstash=None, cfstash=None):
     """The shared double-buffered chunk-stream + log-space compositing loop
     (see _fwd_kernel header notes). Returns (chunks_done, logT (P, 1),
     rgb_acc (P, 3)). Row-independent: ``px``/``py`` may stack any pixel
-    sets (full tiles, strided subgrids, multiple AMR rounds) on the P axis."""
+    sets (full tiles, strided subgrids, multiple AMR rounds) on the P axis.
+
+    When ``cwstash``/``cfstash`` scratch refs are passed, the color matmul
+    is SOFTWARE-PIPELINED one chunk behind the alpha/scan chain: its lhs
+    ``w`` is the END of the VPU dependency chain, so issuing it in-line
+    serializes the MXU behind the VPU every chunk (the same bubble the bwd
+    kernel's moment matmul had — see _bwd_kernel geom_step). The deferred
+    matmul reads last chunk's stash while this chunk's VPU chain runs."""
+
+    nbuf = fbuf.shape[0]
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * chunk, chunk)
@@ -332,22 +371,42 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
             sem.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
+    for j in range(nbuf - 1):
+        @pl.when(j < n_chunks)
+        def _(j=j):
+            dma(j, j).start()
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    defer_color = cwstash is not None and TUNE["defer_color"]
+
+    def color_term(ci_prev):
+        """Deferred color contribution of chunk ``ci_prev`` from the stash;
+        garbage on ci_prev < 0 (bootstrap) — caller gates with a select.
+        Accumulation on the MXU in NATIVE (M,K)@(K,N) form; 3-limb split
+        (no cancellation in a positive-weighted color sum) halves the
+        HIGHEST-precision passes."""
+        sl = ci_prev % 2
+        return _dot_tuned(
+            TUNE["color"], cwstash[sl, 0:pixels, :], cfstash[sl, 0:3, :].T,
+            (((1,), (0,)), ((), ())))
 
     def body(carry):
         ci, logT, rgb_acc, done = carry
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + nbuf - 1 < n_chunks)
         def _():
-            dma((ci + 1) % 2, ci + 1).start()
+            dma((ci + nbuf - 1) % nbuf, ci + nbuf - 1).start()
 
-        dma(ci % 2, ci).wait()
-        f = fbuf[ci % 2]
+        dma(ci % nbuf, ci).wait()
+        f = fbuf[ci % nbuf]
         ids = start + ci * chunk + lane_ids
+
+        if defer_color:
+            # previous chunk's color matmul overlaps this chunk's VPU chain
+            # (on ci == 0 the stash is stale: select drops it, and
+            # where() also blocks stale NaNs from propagating)
+            rgb_acc = rgb_acc + jnp.where(ci > 0, color_term(ci - 1), 0.0)
+
         alpha, _, _, _ = _alpha_terms(f, px, py, ids, o, o + n)
 
         # Transmittance entirely in log space: per-lane exclusive prefix
@@ -360,13 +419,12 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
         # excl prefix log-sums, seeded with the cross-chunk carry
         s, tot = _prefix_scan(lom, prefix_m, blk, carry0=logT)
         w = alpha * jnp.exp(s)  # (P, C) blend weights
-        # color accumulation on the MXU in NATIVE (M,K)@(K,N) form: the
-        # lane-contracted dot_general form measured 5.7 ms/frame of layout
-        # shuffling (kernel ablation r3); transposing the tiny (3, C) rgb
-        # block instead and contracting w's lanes against its sublanes is
-        # a plain matmul. 3-limb split (no cancellation in a positive-
-        # weighted color sum) halves the HIGHEST-precision passes.
-        rgb_acc = rgb_acc + _dot3(w, f[5:8, :].T, (((1,), (0,)), ((), ())))
+        if defer_color:
+            cwstash[ci % 2, 0:pixels, :] = w
+            cfstash[ci % 2, 0:3, :] = f[5:8, :]
+        else:
+            rgb_acc = rgb_acc + _dot_tuned(
+                TUNE["color"], w, f[5:8, :].T, (((1,), (0,)), ((), ())))
         logT = logT + tot  # full-chunk log-product (same grouping as bwd)
         done = jnp.max(logT) < LOG_T_MIN
         return ci + 1, logT, rgb_acc, done
@@ -381,10 +439,15 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
                      jnp.bool_(False))
     )
 
-    # early exit leaves the prefetched next chunk's DMA in flight: drain it
-    @pl.when(ci < n_chunks)
-    def _():
-        dma(ci % 2, ci).wait()
+    if defer_color:
+        # the last processed chunk's color term is still pending
+        rgb_acc = rgb_acc + jnp.where(ci > 0, color_term(ci - 1), 0.0)
+
+    # early exit leaves up to nbuf-1 prefetched DMAs in flight: drain them
+    for j in range(nbuf - 1):
+        @pl.when(ci + j < n_chunks)
+        def _(j=j):
+            dma((ci + j) % nbuf, ci + j).wait()
 
     return ci, logT, rgb_acc
 
@@ -396,6 +459,8 @@ def _fwd_kernel(
     out_ref,  # (1, P, OUTC) f32 VMEM: cols 0-2 rgb, 3 final_T, 4 chunks done
     fbuf,  # scratch VMEM (2, FEAT, CHUNK)
     sem,  # DMA sems (2,)
+    cwstash,  # scratch (2, P, CHUNK): deferred-color weight handoff
+    cfstash,  # scratch (2, 8, CHUNK): deferred-color rgb-row handoff
     *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
     offx: int = 0, offy: int = 0, n_rounds: int = 0,
 ):
@@ -413,7 +478,7 @@ def _fwd_kernel(
 
     ci, logT, rgb_acc = _blend_stream_loop(
         feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk, pixels,
-        blk, prefix_m)
+        blk, prefix_m, cwstash=cwstash, cfstash=cfstash)
 
     out_ref[0, :, 0:3] = rgb_acc
     out_ref[0, :, 3:4] = jnp.exp(logT)
@@ -433,9 +498,11 @@ def _bwd_kernel(
     fwdout_ref,  # (1, P, OUTC): forward output (col 3 final_T, col 4 chunks)
     dfeat_hbm,  # out: (FEAT, S) per-instance grads in per-tile regions, HBM
     fbuf,  # scratch (2, FEAT, CHUNK)
-    dbuf,  # scratch (2, FEAT, CHUNK) staging for grads
+    dbuf,  # scratch (3, FEAT, CHUNK) grad staging; slot 2 = bootstrap dummy
     sem,  # DMA sems (2,)
     outsem,  # DMA sems for grad write-back (2,)
+    dstash,  # scratch (2, P, CHUNK): d_power_px handoff to the deferred geom
+    gstash,  # scratch (2, 16, CHUNK): coefficient-row + wmom handoff
     *, chunk: int, pixels: int, tile: int, grid_x: int,
 ):
     t = pl.program_id(0)
@@ -490,137 +557,201 @@ def _bwd_kernel(
     prefix_m = _prefix_excl_matrix(blk)
     suffix_m = _suffix_excl_matrix(blk)
 
-    def body(i, carry):
-        ci = n_chunks - 1 - i  # back-to-front (backward.cu:441-556)
-        slot = i % 2
+    def geom_step(dst, sslot):
+        """Deferred geometric-gradient block: the moment matmul + e_*
+        expansion + dbuf write for the chunk whose VPU chain ran LAST
+        iteration (stashes at ``sslot``), written to dbuf[``dst``].
+
+        Deferring by one iteration breaks the serialization of the moment
+        matmul behind the END of the VPU dependency chain
+        (alpha -> scans -> d_power): production ablation r4 measured the
+        in-line form's bubble at 8.8 ms/frame (full 33.1 ms, no_geom 20.5,
+        matmul-on-independent-operand +2.4, chain-without-matmul +1.4).
+        The caller keeps this STRAIGHT-LINE (no lax.cond around it) —
+        Mosaic schedules freely only within a branchless region."""
+        d = dstash[sslot]
+        mom = _dot_tuned(TUNE["mom"], moment_mT, d,
+                         (((1,), (0,)), ((), ())))  # (6, C)
+        m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
+        x_c = gstash[sslot, 0:1, :]  # tile-local, matching moment_mT
+        y_c = gstash[sslot, 1:2, :]
+        ca = gstash[sslot, 2:3, :]
+        cb = gstash[sslot, 3:4, :]
+        cc = gstash[sslot, 4:5, :]
+        opv = gstash[sslot, 5:6, :]
+        e_x = x_c * m0 - mx  # sum_p d_power * dx
+        e_y = y_c * m0 - my
+        e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
+        e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
+        e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
+        dbuf[dst, 0:1, :] = -(ca * e_x + cb * e_y)
+        dbuf[dst, 1:2, :] = -(cc * e_y + cb * e_x)
+        dbuf[dst, 2:3, :] = -0.5 * e_xx
+        dbuf[dst, 3:4, :] = -e_xy
+        dbuf[dst, 4:5, :] = -0.5 * e_yy
+        dbuf[dst, 5:8, :] = gstash[sslot, 7:10, :]  # wmom (computed inline)
+        dbuf[dst, 8:9, :] = m0 / jnp.maximum(opv, 1e-30)
+        # gaussian-id sort key (stashed pre-masked: this tile's own lanes
+        # carry their id, superset lanes +inf so they sort past every live
+        # instance)
+        dbuf[dst, GID_ROW:GID_ROW + 1, :] = gstash[sslot, 6:7, :]
+        dbuf[dst, GID_ROW + 1:FEAT, :] = jnp.zeros(
+            (FEAT - GID_ROW - 1, chunk), jnp.float32
+        )
+
+    # --- pass 1: chunks the forward early-exited (ci >= n_chunks_done,
+    # processed FIRST in back-to-front order). Their instances contributed
+    # nothing (T < 1e-4): gradients are exactly zero, but the sort key
+    # still needs real gaussian ids, so each chunk is written (zero
+    # payload) rather than left as garbage. Splitting these into their own
+    # cheap loop keeps the compute loop below BRANCH-FREE — the previous
+    # lax.cond(computed, skipped) walled the scheduler off from
+    # overlapping MXU and VPU work across the branch.
+    n_done = jnp.minimum(n_chunks_done, n_chunks)
+    n_skip = n_chunks - n_done
+
+    def zero_body(i, _):
+        ci = n_chunks - 1 - i
 
         @pl.when(ci > 0)
         def _():
             dma_in((ci - 1) % 2, ci - 1).start()
 
-        # the staging buffer is written below; wait out the grad DMA that was
-        # issued from this slot two iterations ago before overwriting it
-        @pl.when(i >= 2)
+        # dbuf slots are keyed by CHUNK parity throughout: wait out the
+        # grad DMA issued for the chunk that used this slot last
+        @pl.when(ci + 2 < n_chunks)
         def _():
-            grad_dma(slot, ci + 2).wait()
+            grad_dma(ci % 2, ci + 2).wait()
+
+        dma_in(ci % 2, ci).wait()
+        f = fbuf[ci % 2]
+        ids = start + ci * chunk + lane_ids
+        lane_valid = (ids >= o) & (ids < o + n)
+        dbuf[ci % 2, 0:GID_ROW, :] = jnp.zeros(
+            (GID_ROW, chunk), jnp.float32)
+        dbuf[ci % 2, GID_ROW:GID_ROW + 1, :] = jnp.where(
+            lane_valid, f[GID_ROW:GID_ROW + 1, :], jnp.float32(jnp.inf))
+        dbuf[ci % 2, GID_ROW + 1:FEAT, :] = jnp.zeros(
+            (FEAT - GID_ROW - 1, chunk), jnp.float32)
+        grad_dma(ci % 2, ci).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_skip, zero_body, 0)
+
+    # --- pass 2: live chunks, back-to-front (backward.cu:441-556),
+    # branch-free body with the geom block software-pipelined one chunk
+    # behind the VPU chain
+    def comp_body(i, carry):
+        ci = n_done - 1 - i
+        logT_after, S = carry
+
+        @pl.when(ci > 0)
+        def _():
+            dma_in((ci - 1) % 2, ci - 1).start()
+
+        # deferred geom for the previously processed chunk cp = ci+1.
+        # Iteration 0 has no predecessor: the SAME straight-line block runs
+        # on stale stash into a dummy dbuf slot (2) that is never DMA'd,
+        # keeping the body branchless.
+        cp = ci + 1
+        dst = jnp.where(i == 0, 2, cp % 2)
+
+        @pl.when((i >= 1) & (cp + 2 < n_chunks))
+        def _():
+            grad_dma(cp % 2, cp + 2).wait()
+
+        geom_step(dst, (i - 1) % 2)
+
+        @pl.when(i >= 1)
+        def _():
+            grad_dma(cp % 2, cp).start()
 
         dma_in(ci % 2, ci).wait()
         f = fbuf[ci % 2]
         ids = start + ci * chunk + lane_ids
         lane_valid = (ids >= o) & (ids < o + n)  # (1, C)
+        sslot = i % 2
 
-        def computed(carry):
-            logT_after, S = carry
-            alpha, alpha_raw, power, keep = _alpha_terms(
-                f, px, py, ids, o, o + n
-            )
+        # stash the coefficient rows the deferred geom step needs
+        # (fbuf[ci % 2] is overwritten by the DMA started at the NEXT
+        # iteration's top, so geom can't read them from there)
+        gstash[sslot, 0:1, :] = f[0:1, :] - ox
+        gstash[sslot, 1:2, :] = f[1:2, :] - oy
+        gstash[sslot, 2:5, :] = f[2:5, :]
+        gstash[sslot, 5:6, :] = f[8:9, :]
+        gstash[sslot, 6:7, :] = jnp.where(
+            lane_valid, f[GID_ROW:GID_ROW + 1, :], jnp.float32(jnp.inf))
 
-            # Log-space reconstruction that inverts the forward's carry to
-            # ~1 ulp (the CUDA backward instead divides by the global
-            # final_T, backward.cu:503, which 0/0s once T underflows f32):
-            # the forward stepped logT by the full-chunk log-product and
-            # weighted each instance by exp(logT + prefix); recompute the
-            # identical MXU prefix sums and subtract the identical total.
-            om = 1.0 - alpha
-            lom = jnp.log(om)
-            s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix
-            logT_before = logT_after - tot
-            T_i = jnp.exp(logT_before + s)  # (P, C)
-            w = alpha * T_i  # (P, C)
-
-            # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c] as a NATIVE
-            # (P,3)@(3,C) MXU matmul (3-limb split): replaces a 5-pass
-            # (P,C) broadcast-FMA chain on the pass-count-bound VPU
-            # (ablation r3: each (P,C) VPU pass is ~0.2 us, MXU has slack)
-            G_rgb = _dot3(gimg_ref[0, :, 0:3], f[5:8, :],
-                          (((1,), (0,)), ((), ())))
-            u = G_rgb * w
-            # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
-            # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
-            suf_ex, suf_tot = _suffix_scan(u, suffix_m, blk)  # (P, C)
-            S_i = S + suf_ex
-
-            # d_power in the u-reusing form: on every lane the gate keeps
-            # (alpha_raw < 0.99 so alpha == alpha_raw, and keep), d_alpha *
-            # alpha_raw == alpha*T_i*G - alpha*S_i/om == u - (alpha/om)*S_i
-            # — reusing u drops the separate T_i*G and *alpha_raw passes.
-            # om replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it
-            # at 0.01 (masked lanes have alpha = 0 -> ratio 0, u 0). The
-            # 0.99 clamp gate matches the jnp.minimum vjp of the jnp path.
-            d_power_px = jnp.where(
-                keep & (alpha_raw < ALPHA_MAX),
-                u - (alpha / om) * S_i, 0.0,
-            )
-
-            # All 9 pixel reductions ride the MXU. The geometric gradients
-            # expand dx = x_c - px, dy = y_c - py into pixel-coordinate
-            # moments M_k = sum_p d_power[p,c] * poly_k(px,py): one
-            # (6,P)@(P,C) NATIVE-form matmul replaces five masked (P,C)
-            # product+reduce passes; dL/dopacity falls out of M_0 since
-            # d_op = d_araw*g = d_power/opacity on kept lanes.
-            # stays HIGHEST: the e_xy/e_xx cancellation below amplifies any
-            # split error by ~tile^2 (measured 6e-3 conic-grad error with a
-            # 2-pass bf16 split), and ablation shows pass count is not what
-            # this op's cost was — the transposed layout was.
-            mom = _dot(moment_mT, d_power_px)  # (6, C)
-            m0, mx, my, mxx, mxy, myy = (mom[j: j + 1, :] for j in range(6))
-            x_c = f[0:1, :] - ox  # tile-local frame, matching moment_m
-            y_c = f[1:2, :] - oy
-            ca = f[2:3, :]
-            cb = f[3:4, :]
-            cc = f[4:5, :]
-            e_x = x_c * m0 - mx  # sum_p d_power * dx
-            e_y = y_c * m0 - my
-            e_xx = x_c * x_c * m0 - 2.0 * x_c * mx + mxx
-            e_xy = x_c * y_c * m0 - x_c * my - y_c * mx + mxy
-            e_yy = y_c * y_c * m0 - 2.0 * y_c * my + myy
-            # cotangent-weighted weight sums: positive-weighted, no
-            # cancellation -> 3-limb split (half the MXU passes of HIGHEST)
-            wmom = _dot3(cot_mT, w, (((1,), (0,)), ((), ())))  # (3, C)
-
-            dbuf[slot, 0:1, :] = -(ca * e_x + cb * e_y)
-            dbuf[slot, 1:2, :] = -(cc * e_y + cb * e_x)
-            dbuf[slot, 2:3, :] = -0.5 * e_xx
-            dbuf[slot, 3:4, :] = -e_xy
-            dbuf[slot, 4:5, :] = -0.5 * e_yy
-            dbuf[slot, 5:8, :] = wmom
-            dbuf[slot, 8:9, :] = m0 / jnp.maximum(f[8:9, :], 1e-30)
-
-            S_new = S + suf_tot  # full-chunk sum, no extra reduce
-            return logT_before, S_new
-
-        def skipped(carry):
-            # chunk was early-exited by the forward: its instances
-            # contributed nothing (T < 1e-4), gradients are exactly zero —
-            # but the sort key below still needs real gaussian ids, so the
-            # chunk is written (zero payload) rather than left as garbage
-            dbuf[slot, 0:GID_ROW, :] = jnp.zeros((GID_ROW, chunk), jnp.float32)
-            return carry
-
-        carry = jax.lax.cond(ci < n_chunks_done, computed, skipped, carry)
-        # gaussian-id sort key: this tile's own lanes carry their gaussian
-        # id; superset lanes owned by neighboring tiles get +inf (their
-        # grads above are zeros) so they sort past every live instance
-        dbuf[slot, GID_ROW:GID_ROW + 1, :] = jnp.where(
-            lane_valid, f[GID_ROW:GID_ROW + 1, :], jnp.float32(jnp.inf)
+        alpha, alpha_raw, power, keep = _alpha_terms(
+            f, px, py, ids, o, o + n
         )
-        dbuf[slot, GID_ROW + 1:FEAT, :] = jnp.zeros(
-            (FEAT - GID_ROW - 1, chunk), jnp.float32
+        # Log-space reconstruction that inverts the forward's carry to
+        # ~1 ulp (the CUDA backward instead divides by the global final_T,
+        # backward.cu:503, which 0/0s once T underflows f32): the forward
+        # stepped logT by the full-chunk log-product and weighted each
+        # instance by exp(logT + prefix); recompute the identical MXU
+        # prefix sums and subtract the identical total.
+        om = 1.0 - alpha
+        lom = jnp.log(om)
+        s, tot = _prefix_scan(lom, prefix_m, blk)  # (P, C) excl prefix
+        logT_before = logT_after - tot
+        T_i = jnp.exp(logT_before + s)  # (P, C)
+        w = alpha * T_i  # (P, C)
+
+        # G_rgb[p, c] = sum_ch g_ch[p] * rgb_ch[c] as a NATIVE (P,3)@(3,C)
+        # MXU matmul (3-limb split): replaces a 5-pass (P,C) broadcast-FMA
+        # chain on the pass-count-bound VPU
+        G_rgb = _dot_tuned(TUNE["grgb"], gimg_ref[0, :, 0:3], f[5:8, :],
+                           (((1,), (0,)), ((), ())))
+        u = G_rgb * w
+        # cotangent-weighted weight sums ride inline (w is available
+        # mid-chain, so this matmul already overlaps the suffix scan);
+        # stashed for the deferred geom write. Positive-weighted, no
+        # cancellation -> 3-limb split (half of HIGHEST's passes).
+        wmom = _dot_tuned(TUNE["wmom"], cot_mT, w,
+                          (((1,), (0,)), ((), ())))  # (3, C)
+        gstash[sslot, 7:10, :] = wmom
+        # suffix-EXCLUSIVE sum along lanes on the MXU: u @ U with
+        # U[j, c] = [j > c] replaces a 7-step log-doubling shift chain
+        suf_ex, suf_tot = _suffix_scan(u, suffix_m, blk)  # (P, C)
+        S_i = S + suf_ex
+
+        # d_power in the u-reusing form: on every lane the gate keeps
+        # (alpha_raw < 0.99 so alpha == alpha_raw, and keep), d_alpha *
+        # alpha_raw == alpha*T_i*G - alpha*S_i/om == u - (alpha/om)*S_i
+        # — reusing u drops the separate T_i*G and *alpha_raw passes.
+        # om replaces max(1-alpha, 1e-6) since alpha <= 0.99 bounds it at
+        # 0.01 (masked lanes have alpha = 0 -> ratio 0, u 0). The 0.99
+        # clamp gate matches the jnp.minimum vjp of the jnp path.
+        d_power_px = jnp.where(
+            keep & (alpha_raw < ALPHA_MAX),
+            u - (alpha / om) * S_i, 0.0,
         )
-        grad_dma(slot, ci).start()
-        return carry
+        # hand the moment reduction to the NEXT iteration's geom_step
+        dstash[sslot] = d_power_px
+        return logT_before, S + suf_tot
 
-    S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accumulator
-    jax.lax.fori_loop(0, n_chunks, body, (log_final_t, S0))
+    S0 = gT_ext * final_t  # dL/dT_final cotangent seeds the suffix accum
+    jax.lax.fori_loop(0, n_done, comp_body, (log_final_t, S0))
 
-    # drain the last (up to two) in-flight grad write-backs
-    @pl.when(n_chunks >= 1)
+    # final deferred geom block (chunk 0), then drain the in-flight
+    # write-backs (slots are chunk-parity-keyed: chunk c used slot c % 2)
+    @pl.when(n_done >= 1)
     def _():
-        grad_dma((n_chunks - 1) % 2, 0).wait()
+        @pl.when(2 < n_chunks)
+        def _():
+            grad_dma(0, 2).wait()
+
+        geom_step(jnp.int32(0), (n_done - 1) % 2)
+        grad_dma(0, 0).start()
 
     @pl.when(n_chunks >= 2)
     def _():
-        grad_dma((n_chunks - 2) % 2, 1).wait()
+        grad_dma(1, 1).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        grad_dma(0, 0).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -687,8 +818,11 @@ def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
             (1, pixels, OUTC), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TUNE["nbuf"], FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((TUNE["nbuf"],)),
+            pltpu.VMEM((2, pixels if TUNE["defer_color"] else 8, chunk),
+                       jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -721,9 +855,11 @@ def _bwd_call(feat_soa, offsets, counts, gaoff, gimg_tiles, fwd_out,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, chunk), jnp.float32),
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((3, FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, pixels, chunk), jnp.float32),
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -1008,7 +1144,7 @@ def _fwd_levels_kernel(
     levels_ref,  # scalar prefetch: (num_tiles,) int32 AMR level 1..4
     feat_hbm,  # (FEAT, K) f32 depth-sorted CSR SoA
     out_ref,  # (1, 4*sub, OUTC): round r's subgrid in rows [r*sub,(r+1)*sub)
-    fbuf, sem,
+    fbuf, sem, cwstash, cfstash,
     *, chunk: int, tile: int, grid_x: int,
 ):
     """ONE kernel pass per tile computing AMR rounds 1..level_t stacked on
@@ -1041,7 +1177,7 @@ def _fwd_levels_kernel(
             px, py = _pixel_coords_rounds(t, grid_x, tile, level)
             ci, logT, rgb_acc = _blend_stream_loop(
                 feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk,
-                pixels, blk, prefix_m)
+                pixels, blk, prefix_m, cwstash=cwstash, cfstash=cfstash)
             out_ref[0, 0:pixels, 0:3] = rgb_acc
             out_ref[0, 0:pixels, 3:4] = jnp.exp(logT)
             out_ref[0, 0:pixels, 4:OUTC] = jnp.zeros(
@@ -1082,8 +1218,11 @@ def blend_levels_fused_pallas(
             (1, 4 * sub, OUTC), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TUNE["nbuf"], FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((TUNE["nbuf"],)),
+            pltpu.VMEM((2, 4 * sub if TUNE["defer_color"] else 8, chunk),
+                       jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
         ],
     )
     return pl.pallas_call(

@@ -47,6 +47,35 @@ class TestTrainCLI:
         assert it == 30
         assert np.isfinite(np.asarray(state.params.xyz)).all()
 
+    def test_checkpoint_orbax_roundtrip(self, trained_model, tmp_path):
+        """Orbax dir round-trips the FULL state pytree (params + optax
+        opt_state + stats) bit-exactly, including NamedTuple structure."""
+        root, model_path = trained_model
+        import jax
+        from gaussian_splatting_with_eye_tracking_tpu.models import checkpoint as ckpt
+
+        state, it = ckpt.load_checkpoint(os.path.join(model_path, "chkpnt30.ckpt"))
+        opath = os.path.join(str(tmp_path), "orbax_ckpt")
+        ckpt.save_checkpoint_orbax(opath, state, it)
+        state2, it2 = ckpt.load_checkpoint_orbax(opath)
+        assert it2 == it
+        assert jax.tree.structure(state2) == jax.tree.structure(state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_checkpoint_orbax_async(self, trained_model, tmp_path):
+        root, model_path = trained_model
+        from gaussian_splatting_with_eye_tracking_tpu.models import checkpoint as ckpt
+
+        state, it = ckpt.load_checkpoint(os.path.join(model_path, "chkpnt30.ckpt"))
+        opath = os.path.join(str(tmp_path), "orbax_async")
+        ckpt.save_checkpoint_orbax(opath, state, it, async_save=True)
+        ckpt.wait_for_async_saves()
+        state2, it2 = ckpt.load_checkpoint_orbax(opath)
+        assert it2 == it
+        np.testing.assert_array_equal(
+            np.asarray(state.params.xyz), np.asarray(state2.params.xyz))
+
     def test_render_cli(self, trained_model):
         root, model_path = trained_model
         import render as render_cli

@@ -56,7 +56,10 @@ def training(
     state, tx = scene.gaussians, scene.tx
     first_iter = 0
     if start_checkpoint:
-        state, first_iter = ckpt.load_checkpoint(start_checkpoint)
+        if os.path.isdir(start_checkpoint):  # orbax checkpoint directory
+            state, first_iter = ckpt.load_checkpoint_orbax(start_checkpoint)
+        else:
+            state, first_iter = ckpt.load_checkpoint(start_checkpoint)
         print(f"Restored checkpoint at iteration {first_iter}")
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
@@ -229,11 +232,20 @@ def training(
             scene.save(iteration)
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")
-            ckpt.save_checkpoint(
-                os.path.join(cfg.model_path, f"chkpnt{iteration}.ckpt"),
-                state, iteration,
-            )
+            if jax.process_count() > 1:
+                # multi-host: orbax coordinates the distributed write
+                # (async; drained below before exit)
+                ckpt.save_checkpoint_orbax(
+                    os.path.join(cfg.model_path, f"chkpnt{iteration}.orbax"),
+                    state, iteration, async_save=True,
+                )
+            else:
+                ckpt.save_checkpoint(
+                    os.path.join(cfg.model_path, f"chkpnt{iteration}.ckpt"),
+                    state, iteration,
+                )
 
+    ckpt.wait_for_async_saves()
     scene.gaussians = state
     return scene, state
 
@@ -299,6 +311,19 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
+
+    # multi-HOST runs (BASELINE config 5): autodetects
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID and
+    # initializes jax.distributed BEFORE any device use; single-process
+    # no-op. Checkpoints switch to orbax dirs (save from every process);
+    # logging/IO below gates on process 0 exactly like the reference gates
+    # tqdm on a single process.
+    from gaussian_splatting_with_eye_tracking_tpu.parallel import multihost
+
+    distributed = multihost.maybe_initialize_distributed()
+    if distributed and jax.process_index() != 0:
+        args.quiet = True
+        args.disable_viewer = True
 
     print("Optimizing " + (args.model_path or ""))
     safe_state(args.quiet)
