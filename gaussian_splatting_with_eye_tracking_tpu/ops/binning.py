@@ -158,18 +158,16 @@ def bin_gaussians(
     # Per-gaussian LIVE instance counts (distance-culled and capacity-dropped
     # slots excluded): gaussian g's slots are the contiguous pre-sort range
     # [excl_g, cum_g) ∩ [0, capacity), so counts come from a cumsum of the
-    # kept mask plus one small (N, 2) gather. These locate each gaussian's
+    # kept mask plus one small (N,) gather. These locate each gaussian's
     # segment boundaries in the backward's sorted-by-id gradient reduction.
     kc = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), _cumsum_i32_blocked(kept.astype(jnp.int32))]
     )
-    idx = jnp.stack(
-        [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],
-        axis=1,
-    )
-    bounds = kc[idx]  # (N, 2)
-    live_count = bounds[:, 1] - bounds[:, 0]
-    live_start = jnp.cumsum(live_count) - live_count
+    # one (N,) gather: cum_g == excl_{g+1} (contiguous segments), so the
+    # start bounds double as the end bounds shifted (see the fused builder)
+    live_start = kc[jnp.minimum(excl, max_instances)]
+    kc_end = kc[jnp.minimum(cum[-1], max_instances)]
+    live_count = jnp.concatenate([live_start[1:], kc_end[None]]) - live_start
 
     return Binning(
         gauss_id=gauss_sorted,
@@ -321,10 +319,17 @@ def build_sorted_instances(
         jnp.arange(n, dtype=jnp.int32))
 
     # 16 per-gaussian columns, all exact f32 VALUES (exp < 2^24): the int
-    # fields ride the same bf16-limb expand as the float features.
+    # fields ride the same bf16-limb expand as the float features. Row 0
+    # doubles as the SEGMENT-START row (+inf on dead gaussians — live
+    # segments tile the enumeration contiguously since dead gaussians emit
+    # zero slots, so excl IS the start) that the expand kernel resolves
+    # in-kernel: no slot->column map is ever materialized (the
+    # scatter-mark + K-length cumsum it replaces traced at 2.6 ms/step;
+    # Mosaic caps the row count at multiples of 8, so the seg row must
+    # REPLACE excl rather than ride as a 17th row).
     width_r = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     cols = [
-        excl.astype(jnp.float32),
+        jnp.where(live, excl.astype(jnp.float32), jnp.inf),  # excl + seg
         (rect_min[:, 0] * 1024 + width_r).astype(jnp.float32),
         rect_min[:, 1].astype(jnp.float32),
         rank.astype(jnp.float32),
@@ -344,21 +349,10 @@ def build_sorted_instances(
     csorted = jax.lax.sort((ckey,) + tuple(cols), num_keys=1)
     table = jnp.stack(csorted[1:], axis=0)  # (16, N) compact-first columns
 
-    # slot -> compact gaussian index: +1 marks at each live gaussian's first
-    # slot, prefix sum (dead gaussians add nothing and collapse away).
-    # NOTE: an attempt to resolve this inside the expand kernel from the
-    # compacted excl column (range-test one-hot, no scatter) died on a
-    # Mosaic constraint — HBM slices must be 128-lane aligned, so a
-    # sublane-major (N, 1) excl column cannot be DMA'd without 128x
-    # padding. The XLA scatter costs a measured 2.4 ms at K=1.6M.
-    mark = jnp.zeros(max_instances, jnp.int32).at[excl].add(
-        live.astype(jnp.int32), mode="drop")
-    ckc = _cumsum_i32_blocked(mark) - 1
     k_iota = jnp.arange(max_instances, dtype=jnp.int32)
     valid = k_iota < total
-    ckc = jnp.clip(ckc, 0, n - 1)
-
-    x16 = expand_ops.expand_rows(table, ckc, interpret=interpret)  # (16, K)
+    x16 = expand_ops.expand_rows_by_segments(
+        table, seg_row=0, k=max_instances, interpret=interpret)  # (16, K)
 
     e = x16[0].astype(jnp.int32)
     rectp = x16[1].astype(jnp.int32)
@@ -400,16 +394,18 @@ def build_sorted_instances(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
+    # Per-gaussian live bounds from ONE (N,) sorted-index gather instead of
+    # the (N, 2) one (trace r4: that gather fused at 4.3 ms/step): segments
+    # are contiguous, so cum_g == excl_{g+1} and
+    #   live_start[g] = kc[excl_g]  (kept instances before g's segment)
+    #   live_count[g] = kc[excl_{g+1}] - kc[excl_g]
+    # with the final boundary kc[min(total, capacity)] a scalar slice.
     kc = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), _cumsum_i32_blocked(kept.astype(jnp.int32))]
     )
-    idx = jnp.stack(
-        [jnp.minimum(excl, max_instances), jnp.minimum(cum, max_instances)],
-        axis=1,
-    )
-    bounds = kc[idx]  # (N, 2)
-    live_count = bounds[:, 1] - bounds[:, 0]
-    live_start = jnp.cumsum(live_count) - live_count
+    live_start = kc[jnp.minimum(excl, max_instances)]  # (N,) gather
+    kc_end = kc[jnp.minimum(total, max_instances)]
+    live_count = jnp.concatenate([live_start[1:], kc_end[None]]) - live_start
 
     b = Binning(
         gauss_id=gauss_sorted,

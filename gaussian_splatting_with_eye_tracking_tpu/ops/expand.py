@@ -71,6 +71,119 @@ def _expand_kernel(col0_ref, ck_ref, table_hbm, out_ref, tbuf, sem,
     )
 
 
+def _expand_seg_kernel(col0_ref, table_hbm, out_ref, tbuf, sem,
+                       *, block: int, bb: int, nblocks: int, seg_row: int):
+    b = pl.program_id(0)
+
+    def dma(slot, blk):
+        c0 = pl.multiple_of(col0_ref[blk], _ALIGN)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(c0, bb)], tbuf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(b == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(b + 1 < nblocks)
+    def _():
+        dma((b + 1) % 2, b + 1).start()
+
+    dma(b % 2, b).wait()
+    tbl = tbuf[b % 2]  # (C, bb) f32
+
+    # range-test one-hot, built TRANSPOSED (slots on sublanes, columns on
+    # lanes — both operands broadcast in their native layouts, no in-kernel
+    # transpose): column c owns output slot k iff seg[c] <= k < seg[c+1].
+    # seg values are exact-int f32 (+inf on dead and pad columns, so they
+    # own nothing; the LAST live column's successor is +inf and absorbs
+    # the out-of-range tail slots, which callers mask). The next-segment
+    # row comes from an in-window roll — selected columns sit >= 1 below
+    # the window end (bb = block + ALIGN slack), so the roll's garbage
+    # last lane is never selected.
+    seg = tbl[seg_row:seg_row + 1, :]  # (1, bb)
+    segn = pltpu.roll(seg, shift=bb - 1, axis=1)  # left-shift by 1: (1, bb)
+    k = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+         + b * block).astype(jnp.float32)  # (B, 1) global slot ids
+    qT = ((seg <= k) & (k < segn)).astype(jnp.bfloat16)  # (B, bb)
+
+    # the seg row's +inf markers poison the limb split (inf - inf = NaN,
+    # and 0 * NaN = NaN inside the selection matmul): zero non-finite
+    # entries AFTER the range test has consumed them
+    tbl = jnp.where(jnp.isfinite(tbl), tbl, 0.0)
+    hi = tbl.astype(jnp.bfloat16)
+    r1 = tbl - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    dn = (((1,), (1,)), ((), ()))  # (C, bb) x (B, bb) -> (C, B), lane-lane
+    kw = dict(preferred_element_type=jnp.float32)
+    out_ref[:, :] = (
+        jax.lax.dot_general(hi, qT, dn, **kw)
+        + jax.lax.dot_general(mid, qT, dn, **kw)
+        + jax.lax.dot_general(lo, qT, dn, **kw)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg_row", "k", "block",
+                                              "interpret"))
+def expand_rows_by_segments(table, seg_row: int, k: int, block: int = 512,
+                            interpret: bool = False):
+    """Run-length expand WITHOUT a precomputed index vector: out (C, K)
+    with out[:, j] = table[:, c] for the unique c whose segment
+    [table[seg_row, c], table[seg_row, c+1]) contains j.
+
+    ``table`` (C, Nc) compact columns whose ``seg_row`` carries each
+    column's exact-int segment-start as f32, NONDECREASING with +inf on
+    columns that own no slots (they can never match). This replaces the
+    caller-side scatter-mark + K-length cumsum that built the explicit
+    slot->column map (measured 2.6 ms at K=1.6M in the r4 step trace):
+    the one-hot selection matrix is built in-kernel from a range test on
+    the streamed segment row. The only host-graph work left is the
+    per-block window start (a ``searchsorted`` over the Nc compact
+    segment starts at K/block points)."""
+    c, nc = table.shape
+    seg = table[seg_row]
+    if interpret:
+        ck = jnp.clip(
+            jnp.searchsorted(seg, jnp.arange(k, dtype=jnp.float32),
+                             side="right").astype(jnp.int32) - 1,
+            0, nc - 1)
+        return table[:, ck]
+
+    kp = -(-k // block) * block
+    nblocks = kp // block
+    bounds = (jnp.arange(nblocks, dtype=jnp.int32) * block).astype(jnp.float32)
+    c0 = jnp.clip(
+        jnp.searchsorted(seg, bounds, side="right").astype(jnp.int32) - 1,
+        0, max(nc - 1, 0))
+    col0 = (c0 // _ALIGN) * _ALIGN
+    bb = block + _ALIGN
+    # pad columns: +inf segment starts (own nothing), zero payload
+    pad = jnp.zeros((c, bb), table.dtype).at[seg_row].set(jnp.inf)
+    table_p = jnp.concatenate([table, pad], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((c, block), lambda b, *_: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, bb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_expand_seg_kernel, block=block, bb=bb,
+                          nblocks=nblocks, seg_row=seg_row),
+        out_shape=jax.ShapeDtypeStruct((c, kp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(col0, table_p)
+    return out[:, :k]
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def expand_rows(table, ck, block: int = 512, interpret: bool = False):
     """out (C, K) f32 with out[:, k] = table[:, ck[k]].
