@@ -31,7 +31,8 @@ import fps_test
 
 def run_foveated_breakdown(state, max_sh_degree, active, width, height,
                            impl="auto", out_json="fps_data_foveated.json",
-                           max_instances=1 << 20, use_gaze=False):
+                           max_instances=1 << 20, use_gaze=False,
+                           decimation=(1, 1, 1, 1)):
     import functools
 
     import jax
@@ -140,6 +141,18 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
     print(f"FUSED foveated frame: {t_fused*1000:.2f} ms "
           f"-> {1/t_fused:.1f} fps", flush=True)
 
+    # --- FUSED + instance-stream decimation on coarse tiles ------------
+    t_fused_dec = None
+    if tuple(decimation) != (1, 1, 1, 1):
+        t_fused_dec = chain_args(lambda xyz, sc, rot, op_, sh_, act: jnp.mean(
+            amr_ops.render_amr_fused(
+                xyz, sc, rot, op_, sh_, max_sh_degree, cam, bg,
+                active_mask=act, decimation=tuple(decimation),
+                **step0_kw)[0]))
+        print(f"FUSED + decimation {tuple(decimation)}: "
+              f"{t_fused_dec*1000:.2f} ms -> {1/t_fused_dec:.1f} fps",
+              flush=True)
+
     # --- plain full-res forward (the bar to beat) ----------------------
     t_plain = chain_args(lambda xyz, sc, rot, op_, sh_, act: jnp.mean(
         rast.rasterize(xyz, sc, rot, op_, sh_, cam, bg,
@@ -147,8 +160,9 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
                        active_mask=act, impl=impl).color))
     print(f"plain full-res forward: {t_plain*1000:.2f} ms "
           f"-> {1/t_plain:.1f} fps", flush=True)
-    print(f"fused foveated / plain = {t_fused/t_plain:.2f}x "
-          f"({'FASTER' if t_fused < t_plain else 'SLOWER'})", flush=True)
+    best = t_fused_dec if t_fused_dec is not None else t_fused
+    print(f"fused foveated / plain = {best/t_plain:.2f}x "
+          f"({'FASTER' if best < t_plain else 'SLOWER'})", flush=True)
 
     doc = {
         "impl": impl, "width": width, "height": height,
@@ -158,8 +172,13 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
         "steps_protocol_total_ms": total_step_ms,
         "fused_ms": t_fused * 1000, "fused_fps": 1.0 / t_fused,
         "plain_forward_ms": t_plain * 1000, "plain_forward_fps": 1.0 / t_plain,
-        "fused_vs_plain": t_fused / t_plain,
+        "fused_vs_plain": best / t_plain,
+        "fused_undecimated_vs_plain": t_fused / t_plain,
     }
+    if t_fused_dec is not None:
+        doc["decimation"] = list(decimation)
+        doc["fused_decimated_ms"] = t_fused_dec * 1000
+        doc["fused_decimated_fps"] = 1.0 / t_fused_dec
     with open(out_json, "w") as f:
         json.dump(doc, f, indent=2)
     return doc
@@ -178,11 +197,16 @@ def main(argv=None):
     parser.add_argument("--out_json", default="fps_data_foveated.json")
     parser.add_argument("--gaze", action="store_true",
                         help="gaze-driven level override (realistic rings)")
+    parser.add_argument("--decimate", nargs=4, type=int,
+                        default=[1, 1, 1, 1], metavar=("D1", "D2", "D3", "D4"),
+                        help="per-level instance-stream decimation "
+                             "(powers of two; e.g. 4 2 1 1)")
     args = parser.parse_args(argv)
     state, deg, active = fps_test.load_or_synthetic(args)
     run_foveated_breakdown(state, deg, active, args.width, args.height,
                            max_instances=args.max_instances,
-                           out_json=args.out_json, use_gaze=args.gaze)
+                           out_json=args.out_json, use_gaze=args.gaze,
+                           decimation=tuple(args.decimate))
 
 
 if __name__ == "__main__":

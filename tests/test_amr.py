@@ -192,3 +192,51 @@ class TestPallasRound:
                                       gaze_xy=gaze, gaze_radii=radii)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-5)
+
+
+class TestDecimation:
+    """Instance-stream decimation for coarse foveated tiles
+    (pallas_blend._blend_stream_loop ``step``): exact for single-chunk
+    tiles (rep = 1 tail weighting), statistically faithful elsewhere."""
+
+    def test_single_chunk_tiles_are_exact(self):
+        """Tiles with <= 128 instances keep ALL instances under any step
+        (the tail-rep logic weights the only chunk by 1): decimated output
+        must be bit-comparable to undecimated."""
+        cam, g = scene(n=120, seed=3)
+        out0, _ = amr.render_amr_fused(*g, 0, cam, BG)
+        out4, _ = amr.render_amr_fused(*g, 0, cam, BG,
+                                       decimation=(4, 2, 1, 1))
+        np.testing.assert_allclose(
+            np.asarray(out4), np.asarray(out0), atol=1e-6)
+
+    def test_decimated_approximates_dense(self):
+        """Dense scene (multi-chunk tiles): level-1/2 decimation with
+        aggregate-opacity compensation must stay visually close to the
+        undecimated foveated render (periphery-quality knob, not an exact
+        transform)."""
+        cam, g = scene(n=3000, seed=4, w=128, h=96)
+        # force everything peripheral: gaze far outside the image
+        gaze = jnp.array([1e6, 1e6])
+        radii = jnp.array([10.0, 20.0, 30.0])
+        out0, st0 = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii)
+        out4, st4 = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii,
+            decimation=(4, 2, 1, 1))
+        assert int(np.asarray(st4.tile_levels).max()) == 1  # all peripheral
+        a, b = np.asarray(out0), np.asarray(out4)
+        mse = float(((a - b) ** 2).mean())
+        psnr = -10 * np.log10(max(mse, 1e-12))
+        # ~20 dB on this adversarial scene (i.i.d. random colors have no
+        # spatial coherence for the kept instances to represent); real
+        # trained scenes fare far better, and these tiles are displayed at
+        # 1/4 resolution anyway. Guard against regressions to garbage.
+        assert psnr > 18.0, psnr
+
+    def test_step1_decimation_is_identity(self):
+        cam, g = scene(n=800, seed=5)
+        out0, _ = amr.render_amr_fused(*g, 0, cam, BG)
+        out1, _ = amr.render_amr_fused(*g, 0, cam, BG,
+                                       decimation=(1, 1, 1, 1))
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))

@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Full-schedule on-chip training regression (VERDICT r3 #6 / BASELINE
+config 2 evidence): the COMPLETE 30k-iteration default-config protocol run
+through the REAL CLI surfaces, end to end:
+
+  1. synthesize a COLMAP-layout dataset whose images are renders of a
+     known gaussian mixture (cameras written with the package's own COLMAP
+     writers, GT rendered through the SAME Scene loader the trainer uses,
+     so conventions can't drift);
+  2. ``train.py -s <scene> -m <model> --iterations 30000 --eval`` —
+     default OptimizationConfig: densify 500..15000 every 100, opacity
+     resets every 3000, SH annealed to degree 3, Adam with expon xyz LR;
+  3. ``render.py -m <model>`` + ``metrics.py -m <model>`` (results.json);
+  4. TRAIN_r04.json: PSNR/point trajectories, wall time, CLI metrics, and
+     the trained-model 1080p fwd+bwd throughput (the reference benches a
+     trained model, fps_test.py:22-38).
+
+Reference anchors: train.py:153-188 (training loop + report),
+arguments/__init__.py:73-88 (defaults), full_eval.py (train->render->
+metrics orchestration).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def synthesize_dataset(root, n_cams=24, width=256, height=256, seed=3):
+    """COLMAP-layout dataset with REAL multi-view structure: GT images are
+    renders of a vivid 3000-gaussian mixture."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    from gaussian_splatting_with_eye_tracking_tpu.scene import colmap as cm
+    from gaussian_splatting_with_eye_tracking_tpu.config import (
+        ModelConfig, OptimizationConfig,
+    )
+    from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
+    from gaussian_splatting_with_eye_tracking_tpu.ops.projection import (
+        CameraParams,
+    )
+    from tests.helpers import make_random_gaussians
+
+    rng = np.random.default_rng(seed)
+    sparse = os.path.join(root, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    images_dir = os.path.join(root, "images")
+    os.makedirs(images_dir, exist_ok=True)
+
+    focal = 300.0
+    cams = {1: cm.ColmapCamera(
+        1, "PINHOLE", width, height,
+        np.array([focal, focal, width / 2, height / 2]))}
+    cm.write_cameras_binary(os.path.join(sparse, "cameras.bin"), cams)
+
+    imgs = {}
+    for i in range(n_cams):
+        theta = 2 * np.pi * i / n_cams
+        elev = 0.25 + 0.1 * np.sin(3 * theta)
+        pos = np.array([5 * np.cos(theta) * np.cos(elev),
+                        5 * np.sin(elev),
+                        5 * np.sin(theta) * np.cos(elev)])
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_w2c = np.stack([right, up2, fwd], axis=0)
+        t = -R_w2c @ pos
+        qx, qy, qz, qw = Rotation.from_matrix(R_w2c).as_quat()
+        name = f"img_{i:03d}.png"
+        imgs[i + 1] = cm.ColmapImage(
+            i + 1, np.array([qw, qx, qy, qz]), t, 1, name)
+        Image.fromarray(np.zeros((height, width, 3), np.uint8)).save(
+            os.path.join(images_dir, name))
+    cm.write_images_binary(os.path.join(sparse, "images.bin"), imgs)
+
+    # sparse points: noisy samples of the GT gaussian centers (a COLMAP
+    # reconstruction's points sit on scene surfaces)
+    means, scales, quats, op, sh = make_random_gaussians(
+        3000, seed=seed, spread=1.2, depth_range=(4.0, 6.0),
+        scale_range=(-3.6, -2.6), sh_degree=3,
+    )
+    centers = np.asarray(means)
+    sel = rng.choice(centers.shape[0], 800, replace=False)
+    xyz = centers[sel] + rng.normal(scale=0.03, size=(800, 3))
+    rgb = rng.integers(40, 215, (800, 3))
+    cm.write_points3d_binary(os.path.join(sparse, "points3D.bin"), xyz, rgb)
+
+    # render GT through the Scene loader's cameras (identical conventions)
+    from gaussian_splatting_with_eye_tracking_tpu.scene import Scene
+
+    cfg = ModelConfig(source_path=root, model_path=os.path.join(root, "_tmp"))
+    scene = Scene(cfg, OptimizationConfig(), seed=0, shuffle=False)
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    bg = jnp.zeros(3)
+    for cam in scene.get_train_cameras() + scene.get_test_cameras():
+        out = rast.rasterize(
+            means, scales, quats, op, sh, cam.params(), bg, sh_degree=3,
+            impl=impl, max_instances=1 << 18, max_live=1 << 18,
+        )
+        img = np.clip(np.asarray(out.color), 0, 1)
+        arr = (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+        # Camera.image_name is extension-stripped (reference convention)
+        Image.fromarray(arr).save(
+            os.path.join(images_dir, cam.image_name + ".png"))
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_tmp"), ignore_errors=True)
+    return root
+
+
+def main():
+    ap = ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30_000)
+    ap.add_argument("--root", default="logs/train_r04/scene")
+    ap.add_argument("--model", default="logs/train_r04/model")
+    ap.add_argument("--out", default="TRAIN_r04.json")
+    ap.add_argument("--skip_bench", action="store_true",
+                    help="skip the 1080p trained-model bench (CPU smoke)")
+    args = ap.parse_args()
+
+    t_all = time.time()
+    print("== synthesizing dataset ==", flush=True)
+    synthesize_dataset(args.root)
+
+    print("== training (CLI) ==", flush=True)
+    import train as train_cli
+
+    test_iters = [1000, 3500, 7000, 15000, 22000, args.iters]
+    t0 = time.time()
+    scene, state = None, None
+    import io
+    from contextlib import redirect_stdout
+
+    # capture the CLI's own progress lines for the trajectory record
+    buf = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            import sys as _s
+
+            _s.__stdout__.write(s)
+            return len(s)
+
+    with redirect_stdout(Tee()):
+        train_cli.main([
+            "-s", args.root, "-m", args.model,
+            "--iterations", str(args.iters),
+            "--test_iterations", *map(str, test_iters),
+            "--save_iterations", str(args.iters),
+            "--checkpoint_iterations", str(args.iters),
+            "--eval", "--disable_viewer",
+        ])
+    wall_train = time.time() - t0
+
+    # parse the evaluation lines the trainer printed
+    psnr_traj, points_traj = [], []
+    for line in buf.getvalue().splitlines():
+        if "Evaluating test" in line and "PSNR" in line:
+            # e.g. "[ITER 1000] Evaluating test: L1 0.0123 PSNR 24.56"
+            try:
+                it = int(line.split("ITER")[1].split("]")[0].strip())
+                ps = float(line.rsplit("PSNR", 1)[1].split()[0])
+                psnr_traj.append({"iter": it, "test_psnr": ps})
+            except (ValueError, IndexError):
+                pass
+        if line.startswith("[it ") and "points=" in line:
+            # "[it 100/30000] loss=... psnr=... points=812 (15.5s)"
+            try:
+                it = int(line.split("[it ", 1)[1].split("/", 1)[0])
+                npts = int(line.split("points=", 1)[1].split()[0])
+                if it % 500 == 0:
+                    points_traj.append({"iter": it, "points": npts})
+            except (ValueError, IndexError):
+                pass
+
+    print("== render.py ==", flush=True)
+    import render as render_cli
+
+    render_cli.main(["-m", args.model, "--quiet",
+                     "--iteration", str(args.iters)])
+
+    print("== metrics.py ==", flush=True)
+    import metrics as metrics_cli
+
+    metrics_cli.main(["-m", args.model])
+    with open(os.path.join(args.model, "results.json")) as f:
+        results = json.load(f)
+
+    # trained-model 1080p fwd+bwd throughput (bench protocol on the
+    # TRAINED distribution)
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_with_eye_tracking_tpu.models import (
+        gaussian_model as gm, ply_io,
+    )
+    from gaussian_splatting_with_eye_tracking_tpu.ops import rasterize as rast
+    from tests.helpers import make_camera
+
+    ply = os.path.join(args.model, "point_cloud",
+                       f"iteration_{args.iters}", "point_cloud.ply")
+    p_np, deg = ply_io.load_gaussians_ply(ply)
+    p = jax.tree.map(jnp.asarray, p_np)
+    n_inst, dt = 0, float("inf")
+    if not args.skip_bench:
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        cam1080 = make_camera(1920, 1088, cam_z=-5.0)
+        bg = jnp.zeros(3)
+        sh_tr = gm.get_sh(p)
+        kw = dict(sh_degree=deg, max_instances=1 << 21, max_live=1 << 21,
+                  max_per_tile=2048, impl=impl)
+        probe = rast.rasterize(p.xyz, gm.get_scaling(p), p.rotation,
+                               gm.get_opacity(p), sh_tr, cam1080, bg, **kw)
+        n_inst = int(probe.num_instances)
+
+        def loss(m):
+            out = rast.rasterize(m, gm.get_scaling(p), p.rotation,
+                                 gm.get_opacity(p), sh_tr, cam1080, bg, **kw)
+            return jnp.mean(out.color ** 2)
+
+        grad1 = jax.grad(loss)
+
+        @jax.jit
+        def chained(k, m):
+            def body(i, carry):
+                m_, acc = carry
+                return m_, acc + jnp.mean(grad1(m_ * (1.0 + 1e-12 * i)))
+
+            return jax.lax.fori_loop(0, k, body, (m, 0.0))[1]
+
+        _ = float(chained(1, p.xyz))
+        t1 = time.perf_counter(); _ = float(chained(1, p.xyz)); t1 = time.perf_counter() - t1
+        t2 = time.perf_counter(); _ = float(chained(5, p.xyz)); t2 = time.perf_counter() - t2
+        dt = max((t2 - t1) / 4, 1e-9)
+
+    doc = {
+        "config": "default OptimizationConfig (reference defaults), "
+                  "FULL 30k schedule: densify 500..15000/100, opacity "
+                  "resets every 3000, SH annealed to 3",
+        "protocol": "CLI end-to-end: train.py -> render.py -> metrics.py",
+        "resolution": [256, 256], "n_cams": 24, "eval_split": "llffhold-8",
+        "iters": args.iters,
+        "wall_time_train_s": round(wall_train, 1),
+        "psnr_trajectory": psnr_traj,
+        "points_trajectory": points_traj,
+        "final_points": int(p.xyz.shape[0]),
+        "metrics_results_json": results,
+        "trained_bench_1080p": {
+            "live_instances": n_inst,
+            "fwd_bwd_ms": round(dt * 1e3, 2),
+            "mpix_per_s": round(1920 * 1088 / dt / 1e6, 1),
+        },
+        "total_wall_s": round(time.time() - t_all, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({k: doc[k] for k in
+                      ("wall_time_train_s", "final_points",
+                       "trained_bench_1080p")}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
