@@ -99,18 +99,23 @@ def main():
     p = prep
     tiles = p.tiles_touched.astype(jnp.int32)
 
-    # 2a: slot->compact-gaussian map (cumsum + scatter-mark + K cumsum)
+    # 2a: enumeration prefix sums + the seg-expand window starts (the r4
+    # pipeline's replacement for the old scatter-mark + K-cumsum slot map;
+    # loop-variant perturbation that cannot constant-fold)
     def s_slotmap(tiles_t, i):
-        cum = jnp.cumsum(tiles_t + (i - i))
+        pert = (jnp.float32(i) * 1e-30).astype(jnp.int32)
+        cum = jnp.cumsum(tiles_t + pert)
         excl = cum - tiles_t
         live = tiles_t > 0
-        mark = jnp.zeros(MAXI, jnp.int32).at[excl].add(
-            live.astype(jnp.int32), mode="drop")
-        ckc = jnp.cumsum(mark) - 1
-        return (ckc, cum)
+        seg = jnp.where(live, excl.astype(jnp.float32), jnp.inf)
+        seg = jnp.sort(seg)  # stand-in for the compaction sort's seg row
+        bounds = (jnp.arange(MAXI // 512, dtype=jnp.int32) * 512
+                  ).astype(jnp.float32)
+        c0 = jnp.searchsorted(seg, bounds, side="right").astype(jnp.int32)
+        return (c0, cum)
 
     t = timeit(s_slotmap, tiles)
-    rec("bin.slot_map(scatter+cumsum K)", t, f"K={MAXI}")
+    rec("bin.enum_cumsum+seg_col0", t, f"K={MAXI} (incl stand-in N sort)")
 
     # 2b: compaction sort (17-tuple, N)
     rank_bits = max(1, (N - 1).bit_length())
@@ -148,21 +153,23 @@ def main():
     table = jnp.stack(jax.jit(
         lambda c16, lf: s_compact(c16, lf, 0))(cols16, live.astype(jnp.float32)),
         axis=0)
-    mark = jnp.zeros(MAXI, jnp.int32).at[excl].add(live.astype(jnp.int32),
-                                                   mode="drop")
-    ckc = jnp.clip(jnp.cumsum(mark) - 1, 0, N - 1)
-    jax.block_until_ready((table, ckc))
+    # r4 layout: row 0 doubles as the segment-start row (+inf on dead)
+    table = table.at[0].set(
+        jnp.sort(jnp.where(live, excl.astype(jnp.float32), jnp.inf)))
+    jax.block_until_ready(table)
 
-    # 2c: expand kernel
-    def s_expand(tb, idx, i):
-        return expand_ops.expand_rows(tb * (1 + 1e-12 * i), idx)
+    # 2c: seg-expand kernel (in-kernel slot->column resolution)
+    def s_expand(tb, i):
+        return expand_ops.expand_rows_by_segments(
+            tb * (1 + 1e-12 * i), seg_row=0, k=MAXI)
 
-    t = timeit(s_expand, table, ckc)
+    t = timeit(s_expand, table)
     exp_bytes = (16 * MAXI * 4 * 2) / 1e9
-    rec("bin.expand_rows(16,K)", t,
+    rec("bin.expand_by_segments(16,K)", t,
         f"~{exp_bytes:.2f} GB moved, {exp_bytes/ (t * HBM_GBPS) *100:.0f}% of HBM peak")
 
-    x16 = jax.jit(lambda tb, idx: expand_ops.expand_rows(tb, idx))(table, ckc)
+    x16 = jax.jit(lambda tb: expand_ops.expand_rows_by_segments(
+        tb, seg_row=0, k=MAXI))(table)
     jax.block_until_ready(x16)
 
     # 2d: decode + cull + key build (K elementwise)
