@@ -122,12 +122,19 @@ def wait_for_async_saves() -> None:
 
 
 def load_checkpoint_orbax(path: str) -> Tuple[GaussianModelState, int]:
-    """Restore a checkpoint written by :func:`save_checkpoint_orbax`."""
+    """Restore a checkpoint written by :func:`save_checkpoint_orbax`.
+
+    Restores every leaf as plain numpy (topology-agnostic): a checkpoint
+    written by an N-process run must load on a single host with different
+    devices — orbax's default restore insists on the saved shardings."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
-    payload = ckptr.restore(path)
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    payload = ckptr.restore(path, restore_args=restore_args)
     with open(path + ".treedef.pkl", "rb") as f:
         treedef = pickle.load(f)
     leaves = payload["leaves"]
@@ -146,12 +153,21 @@ def latest_checkpoint(model_dir: str, prefix: str = "chkpnt") -> Optional[str]:
     utils/system_utils.py:26-28)."""
     if not os.path.isdir(model_dir):
         return None
-    best, best_it = None, -1
+    best, best_key = None, (-1, -1)
     for name in os.listdir(model_dir):
         if not name.startswith(prefix):
             continue
-        tail = name[len(prefix):].split(".")[0]
-        if tail.isdigit() and int(tail) > best_it:
-            best_it = int(tail)
+        tail = name[len(prefix):]
+        # accept exactly <prefix><digits>{,.ckpt,.orbax}; in particular skip
+        # the '<prefix><N>.orbax.treedef.pkl' sidecar, which would otherwise
+        # win os.listdir-order ties and route a pickle to load_checkpoint_orbax
+        it_str, dot, ext = tail.partition(".")
+        if not it_str.isdigit() or ext not in ("", "ckpt", "orbax"):
+            continue
+        # on iteration ties prefer the pickle file, then the orbax dir
+        rank = {"ckpt": 2, "": 1, "orbax": 0}[ext]
+        key = (int(it_str), rank)
+        if key > best_key:
+            best_key = key
             best = os.path.join(model_dir, name)
     return best

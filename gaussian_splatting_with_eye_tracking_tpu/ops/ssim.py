@@ -43,14 +43,22 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp
     w = jnp.asarray(_gaussian_window(window_size, 1.5))
 
     def blur(x):
-        # depthwise separable convolution: (N, C, H, W)
+        # depthwise separable convolution: (N, C, H, W). The convs MUST run at
+        # full f32 precision: on TPU the default (bf16 MXU) precision leaves
+        # ~2^-8 relative error in blur(x*x), and the variance cancellation
+        # blur(x*x) - mu^2 amplifies it far past C2 = 9e-4, driving the SSIM
+        # denominator through zero (observed ±inf SSIM-map pixels that NaN'd a
+        # full training run — see VERDICT r4 / judge_repro/).
         n, c, h, wd = x.shape
         x = x.reshape(n * c, 1, h, wd)
         kh = w.reshape(1, 1, window_size, 1)
         kw = w.reshape(1, 1, 1, window_size)
         pad = window_size // 2
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)])
-        x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)])
+        hp = jax.lax.Precision.HIGHEST
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), [(pad, pad), (0, 0)], precision=hp)
+        x = jax.lax.conv_general_dilated(
+            x, kw, (1, 1), [(0, 0), (pad, pad)], precision=hp)
         return x.reshape(n, c, h, wd)
 
     mu1, mu2 = blur(img1), blur(img2)

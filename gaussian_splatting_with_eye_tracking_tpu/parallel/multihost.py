@@ -7,9 +7,9 @@ way:
 - ``maybe_initialize_distributed()``: one call at program start. Reads the
   standard coordination env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
   / JAX_PROCESS_ID, or the explicit arguments) and calls
-  ``jax.distributed.initialize``; on TPU pods with no env vars set, JAX's
-  own autodetection (metadata service) is used. A no-op when the process
-  count is 1, so single-host runs need no flags.
+  ``jax.distributed.initialize``. The env vars (or args) are REQUIRED for a
+  multi-process run: with none set this is a no-op and each host runs as an
+  independent single-process job (pod launchers must export them).
 - ``make_global_mesh()``: a Mesh over ALL processes' devices on one named
   axis — the tile-band/gaussian-shard axis of parallel/sharded.py spans
   hosts transparently (shard_map collectives ride ICI within a slice and
@@ -112,8 +112,11 @@ def shard_to_mesh(tree, mesh: Mesh, cap: int):
 def process_local_value(x) -> np.ndarray:
     """Fetch a fully-replicated global array's value on this process
     (works for scalars logged by the train loop)."""
-    return np.asarray(jax.experimental.multihost_utils.process_allgather(x)
-                      if not _is_replicated(x) else x.addressable_data(0))
+    if _is_replicated(x):
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x))
 
 
 def _is_replicated(x) -> bool:

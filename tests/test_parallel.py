@@ -586,3 +586,69 @@ class TestMultiHost:
             rtol=1e-5)
         # 2 processes x 4 devices: each device owns cap/8 rows
         assert got["local_shard_rows"] == state.params.xyz.shape[0] // 8
+
+
+class TestMultiHostTrainCLI:
+    """ADVICE r4 #1: the REAL train.py training() path in a 2-process run —
+    global replicated state on a cross-process mesh, collective steps/evals,
+    orbax checkpoint written cooperatively, IO gated on process 0."""
+
+    def test_two_process_training(self, tmp_path):
+        import socket
+        import subprocess
+
+        from train_regression_r04 import synthesize_dataset
+
+        scene_dir = str(tmp_path / "scene")
+        model_dir = str(tmp_path / "model")
+        synthesize_dataset(scene_dir, n_cams=6, width=64, height=64)
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        repo = __file__.rsplit("/tests/", 1)[0]
+        import os as _os
+
+        env = dict(
+            _os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_NUM_CPU_DEVICES="4",
+        )
+        for k in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS"):
+            env.pop(k, None)
+        procs = [
+            subprocess.Popen(
+                ["python", f"{repo}/tests/multihost_train_worker.py",
+                 str(port), str(pid), "2", scene_dir, model_dir],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for pid in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                o, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                o, _ = p.communicate()
+            logs.append(o.decode(errors="replace"))
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+        import json as _json
+
+        with open(_os.path.join(model_dir, "worker_result.json")) as f:
+            res = _json.load(f)
+        assert res["num_active"] > 0
+        assert np.isfinite(res["xyz_abs_sum"])
+        # the collectively-written orbax checkpoint restores single-process
+        from gaussian_splatting_with_eye_tracking_tpu.models import (
+            checkpoint as ckpt_mod,
+        )
+
+        path = ckpt_mod.latest_checkpoint(model_dir)
+        assert path is not None and path.endswith("chkpnt40.orbax"), path
+        state, it = ckpt_mod.load_checkpoint_orbax(path)
+        assert it == 40
+        assert np.isfinite(np.asarray(state.params.xyz)[
+            np.asarray(state.active)]).all()

