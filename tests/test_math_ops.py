@@ -197,3 +197,89 @@ class TestKNN:
         a = knn_ops.mean_sq_dist_3nn(pts)
         b = np.asarray(knn_ops.mean_sq_dist_3nn_jax(jnp.asarray(pts), block=128))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+class TestPreprocessCustomVJP:
+    """The hand-derived preprocess VJP (ops/projection.py, mirror of
+    reference backward.cu:144-396) must match XLA autodiff of the same
+    forward to float32 accuracy — including clamp/cull gating edge cases."""
+
+    def _setup(self, n=400, seed=0, sh_degree=3, extreme=False):
+        from tests.helpers import make_camera, make_random_gaussians
+
+        means, scales, quats, op, sh = make_random_gaussians(
+            n, seed=seed, sh_degree=sh_degree)
+        if extreme:
+            rng = np.random.default_rng(seed + 1)
+            # push some points behind the camera / off-frustum / degenerate
+            means = means.at[:n // 8, 2].set(-6.0)  # behind near plane
+            means = means.at[n // 8:n // 4, 0].add(40.0)  # FOV clamp region
+            scales = scales.at[n // 4:n // 3].set(5e-7)  # degenerate det
+            op = op.at[n // 3:n // 2].set(0.002)  # ln_op = 0 extents
+        cam = make_camera(96, 80)
+        return means, scales, quats, op, sh, cam, sh_degree
+
+    @pytest.mark.parametrize("sh_degree", [0, 1, 2, 3])
+    @pytest.mark.parametrize("extreme", [False, True])
+    def test_grads_match_autodiff(self, sh_degree, extreme):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import projection
+
+        means, scales, quats, op, sh, cam, deg = self._setup(
+            sh_degree=sh_degree, extreme=extreme)
+        mask = jnp.arange(means.shape[0]) < means.shape[0] - 7  # some padded
+
+        rng = np.random.default_rng(42)
+
+        def cots(prep):
+            # random cotangents on every float output the pipeline uses
+            return (
+                jnp.asarray(rng.standard_normal(prep.means2d.shape), jnp.float32),
+                jnp.asarray(rng.standard_normal(prep.depths.shape), jnp.float32),
+                jnp.asarray(rng.standard_normal(prep.conics.shape), jnp.float32),
+                jnp.asarray(rng.standard_normal(prep.rgb.shape), jnp.float32),
+                jnp.asarray(rng.standard_normal(prep.opacities.shape), jnp.float32),
+            )
+
+        def make_loss(fn):
+            def loss(m, s, q, o, shc, ct):
+                prep = fn(m, s, q, o, shc, deg, cam, active_mask=mask)
+                cm2, cd, cc, crgb, cop = ct
+                return (jnp.vdot(prep.means2d, cm2) + jnp.vdot(prep.depths, cd)
+                        + jnp.vdot(prep.conics, cc) + jnp.vdot(prep.rgb, crgb)
+                        + jnp.vdot(prep.opacities, cop))
+            return loss
+
+        prep0 = projection._preprocess_autodiff(
+            means, scales, quats, op, sh, deg, cam, active_mask=mask)
+        ct = cots(prep0)
+
+        g_hand = jax.grad(make_loss(projection.preprocess),
+                          argnums=(0, 1, 2, 3, 4))(means, scales, quats, op, sh, ct)
+        g_auto = jax.grad(make_loss(projection._preprocess_autodiff),
+                          argnums=(0, 1, 2, 3, 4))(means, scales, quats, op, sh, ct)
+        names = ("means3d", "scales", "quats", "opacities", "sh")
+        for a, b, name in zip(g_hand, g_auto, names):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all(), name
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(
+                a, b, atol=2e-5 * scale, rtol=1e-4,
+                err_msg=f"{name} (sh_degree={sh_degree}, extreme={extreme})")
+
+    def test_forward_identical(self):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import projection
+
+        means, scales, quats, op, sh, cam, deg = self._setup()
+        a = projection.preprocess(means, scales, quats, op, sh, deg, cam)
+        b = projection._preprocess_autodiff(
+            means, scales, quats, op, sh, deg, cam)
+        for fa, fb, name in zip(a, b, a._fields):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            if fa.dtype.kind == "i":
+                # int outputs (radii/tiles/rects) may flip only where a
+                # ceil/clip sits exactly on a float boundary; the wrapper
+                # casts tan_fov to f32 (vs python-float weak type)
+                np.testing.assert_array_equal(fa, fb, err_msg=name)
+            else:
+                np.testing.assert_allclose(fa, fb, rtol=2e-6, atol=2e-6,
+                                           err_msg=name)
