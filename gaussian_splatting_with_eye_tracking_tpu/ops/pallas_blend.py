@@ -81,6 +81,11 @@ TUNE = {
     # costs more than the smaller color bubble it recovers; the bwd keeps
     # its deferral (33.1 -> 26.0 ms) where the moment-matmul bubble is 8.8
     "defer_color": False,
+    # per-gaussian gradient reduction after the id-sort: "segsum" = one-pass
+    # MXU range-test segment sums (ops/segsum.py, reads the sorted grads
+    # once); "cumsum" = blocked-matmul prefix sums + boundary-row gather
+    # (the r3/r4 path). profile_reduce_r05.py measures both on hardware.
+    "segreduce": "cumsum",
 }
 
 
@@ -998,23 +1003,31 @@ def _segment_reduce_grads(dfeat, gaoff, offsets, gauss_start, gauss_count):
         (key,) + tuple(jnp.where(live, dfeat[j], 0.0) for j in range(9)),
         num_keys=1,
     )
-    # 9 independent blocked-matmul cumsums (see _cumsum_blocked), stacked
-    # (S+1, 9) row-major for the boundary row gather below
+    # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
+    # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
+    # exclusive cumsum of emitted counts, and capacity-dropped instances
+    # (pre-sort slot >= max_instances) are exactly the tail beyond
+    # n_live = offsets[-1], so the min() accounts for them.
+    n = gauss_start.shape[0]
+    last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
+    pos = jnp.minimum(jnp.concatenate([gauss_start, last]), offsets[-1])
+    if TUNE["segreduce"] == "segsum":
+        # one-pass MXU range-test segment sums over the sorted columns
+        from gaussian_splatting_with_eye_tracking_tpu.ops import segsum
+        rows = jnp.concatenate(
+            [jnp.stack(sorted_[1:], axis=0),
+             jnp.zeros((7, s_ax), jnp.float32)], axis=0)  # (16, S) sublane pad
+        interpret = jax.default_backend() != "tpu"
+        return segsum.segment_sum_bounds(rows, pos, interpret=interpret).T[:, :9]
+    # blocked-matmul cumsums (see _cumsum_blocked), stacked (S+1, 9)
+    # row-major for the boundary row gather below. N+1 boundary ROWS (a
+    # lane-axis take of the (9, S) cumsum measured ~3x slower: XLA's lane
+    # gathers transpose internally).
     csum = jnp.concatenate(
         [jnp.zeros((1, 9), jnp.float32),
          jnp.stack([_cumsum_blocked(c) for c in sorted_[1:]], axis=1)],
         axis=0,
     )
-    # Gaussian g's instances occupy positions [min(gauss_start[g], n_live),
-    # min(gauss_start[g+1], n_live)) of the sorted order: gauss_start is the
-    # exclusive cumsum of emitted counts, and capacity-dropped instances
-    # (pre-sort slot >= max_instances) are exactly the tail beyond
-    # n_live = offsets[-1], so the min() accounts for them. N+1 boundary
-    # ROWS (a lane-axis take of the (9, S) cumsum measured ~3x slower:
-    # XLA's lane gathers transpose internally).
-    n = gauss_start.shape[0]
-    last = gauss_start[n - 1: n] + gauss_count[n - 1: n]
-    pos = jnp.minimum(jnp.concatenate([gauss_start, last]), offsets[-1])
     at_bounds = csum[pos]  # (N+1, 9) boundary row gather
     seg = at_bounds[1:] - at_bounds[:-1]  # (N, 9)
     return seg

@@ -314,13 +314,36 @@ def main():
     t_segsort = timeit(s_segsort, dfeat, gaoff)
     rec("segreduce.SORT(key+9payload,S)", t_segsort, f"S={s_grad}")
 
+    def s_segsort_packed(df, ga, i):
+        """ALT probe: bf16-pair packing, 9 f32 payloads -> 5 u32 rows (last
+        carries one value + zero). Lossy (~2^-8 per element); measures the
+        sort-cost headroom payload-width reduction could buy."""
+        s_ax = df.shape[1]
+        live_ = jax.lax.broadcasted_iota(jnp.int32, (s_ax,), 0) < ga[-1]
+        key_ = jnp.where(live_, df[pb.GID_ROW] * (1 + 1e-12 * i), jnp.inf)
+
+        def pack(a, b):
+            ab = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            bb = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            return (ab << 16) | bb
+
+        rows_ = [pack(df[0], df[1]), pack(df[2], df[3]), pack(df[4], df[5]),
+                 pack(df[6], df[7]), pack(df[8], jnp.zeros_like(df[8]))]
+        return jax.lax.sort((key_,) + tuple(rows_), num_keys=1)
+
+    t = timeit(s_segsort_packed, dfeat, gaoff)
+    rec("segreduce.SORT_bf16pack(alt)", t,
+        "key + 5 u32 bf16-pair payloads (lossy alt to the 9-f32 row sort)")
+
     sorted_ = jax.jit(lambda df, ga: s_segsort(df, ga, 0))(dfeat, gaoff)
     jax.block_until_ready(sorted_)
 
     def s_segsum(st, off, ls, lc, i):
-        rows_ = jnp.stack(st[1:], axis=1) * (1 + 1e-12 * i)
+        cols = [pb._cumsum_blocked(c * (1 + 1e-12 * i)) for c in st[1:]]
         csum = jnp.concatenate(
-            [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(rows_, axis=0)], axis=0)
+            [jnp.zeros((1, 9), jnp.float32), jnp.stack(cols, axis=1)], axis=0)
         last = ls[N - 1:N] + lc[N - 1:N]
         pos = jnp.minimum(jnp.concatenate([ls, last]), off[-1])
         at_bounds = csum[pos]
@@ -328,6 +351,21 @@ def main():
 
     t = timeit(s_segsum, tuple(sorted_), offsets, live_start, live_count)
     rec("segreduce.cumsum+boundary", t)
+
+    def s_segsum_kernel(st, off, ls, lc, i):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import segsum
+        s_ax = st[1].shape[0]
+        rows_ = jnp.concatenate(
+            [jnp.stack(st[1:], axis=0) * (1 + 1e-12 * i),
+             jnp.zeros((7, s_ax), jnp.float32)], axis=0)
+        last = ls[N - 1:N] + lc[N - 1:N]
+        pos = jnp.minimum(jnp.concatenate([ls, last]), off[-1])
+        return segsum.segment_sum_bounds(rows_, pos).T[:, :9]
+
+    t = timeit(s_segsum_kernel, tuple(sorted_), offsets, live_start,
+               live_count)
+    rec("segreduce.SEGSUM_KERNEL(alt)", t,
+        "ops/segsum.py one-pass MXU range-test sums; replaces cumsum row")
 
     # ---- S7 preprocess backward --------------------------------------
     seg = jax.jit(lambda st, off, ls, lc: s_segsum(st, off, ls, lc, 0))(

@@ -210,3 +210,65 @@ class TestGradParityHardware:
             cos = float(a @ b) / (np.linalg.norm(a) * nb + 1e-30)
             assert rel_l2 < 0.15, (name, rel_l2)
             assert cos > 0.99, (name, cos)
+
+
+@pytest.mark.tpu_only
+class TestSegsumKernelHardware:
+    """ops/segsum.py range-test MXU segment sums vs a float64 oracle, on
+    the real chip (the interpret path is a shortcut; only hardware runs
+    the kernel)."""
+
+    @pytest.mark.parametrize("s,n,seed", [
+        (1 << 14, 300, 0),
+        (200_000, 5_000, 1),
+        (1 << 14, 1, 2),       # one giant segment spanning many chunks
+    ])
+    def test_matches_oracle(self, s, n, seed):
+        from gaussian_splatting_with_eye_tracking_tpu.ops import segsum
+
+        rng = np.random.default_rng(seed)
+        table = jnp.asarray(rng.standard_normal((16, s)), jnp.float32)
+        cuts = np.sort(rng.integers(0, s + 1, n - 1)) if n > 1 else np.array([], np.int64)
+        bounds = jnp.asarray(np.concatenate([[0], cuts, [s]]), jnp.int32)
+        out = np.asarray(segsum.segment_sum_bounds(table, bounds))
+        t64 = np.asarray(table, np.float64)
+        csum = np.concatenate([np.zeros((16, 1)), np.cumsum(t64, axis=1)], axis=1)
+        bb = np.asarray(bounds)
+        want = csum[:, bb[1:]] - csum[:, bb[:-1]]
+        scale = np.abs(t64).sum(axis=1, keepdims=True) + 1e-12
+        np.testing.assert_allclose(out, want, atol=1e-5 * scale.max(), rtol=1e-5)
+
+    def test_grad_reduce_parity_between_modes(self):
+        """Full rasterize grads with TUNE['segreduce'] = cumsum vs segsum
+        must agree to f32 summation accuracy."""
+        from gaussian_splatting_with_eye_tracking_tpu.ops import (
+            pallas_blend, rasterize as rast)
+
+        means, scales, quats, op, sh = make_random_gaussians(
+            1500, seed=9, sh_degree=1)
+        cam = make_camera(128, 128)
+        bg = jnp.zeros(3)
+        gt = jax.random.uniform(jax.random.PRNGKey(5), (3, 128, 128))
+
+        def grads():
+            jax.clear_caches()  # TUNE is read at trace time
+
+            def loss(m, s, o):
+                out = rast.rasterize(m, s, quats, o, sh, cam, bg, sh_degree=1,
+                                     impl="pallas", max_instances=1 << 16,
+                                     max_live=1 << 16)
+                return jnp.mean(jnp.abs(out.color - gt))
+            return jax.grad(loss, argnums=(0, 1, 2))(means, scales, op)
+
+        old = pallas_blend.TUNE["segreduce"]
+        try:
+            pallas_blend.TUNE["segreduce"] = "cumsum"
+            g_c = [np.asarray(g) for g in grads()]
+            pallas_blend.TUNE["segreduce"] = "segsum"
+            g_s = [np.asarray(g) for g in grads()]
+        finally:
+            pallas_blend.TUNE["segreduce"] = old
+        for a, b, name in zip(g_s, g_c, ("means", "scales", "op")):
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=1e-4,
+                                       err_msg=name)
