@@ -86,6 +86,15 @@ TUNE = {
     # once); "cumsum" = blocked-matmul prefix sums + boundary-row gather
     # (the r3/r4 path). profile_reduce_r05.py measures both on hardware.
     "segreduce": "cumsum",
+    # alpha-evaluation precision (the dominant VPU pass block in BOTH
+    # kernels): "f32" = the reference-matching direct quadratic;
+    # "bf16" = Cholesky-form -(u^2+v^2)/2 with the (P,C) chain in bf16
+    # after an f32 dx/dy subtraction; "bf16x" = fully-bf16 chain including
+    # the tile-local subtraction (cheapest, loosest). The Cholesky form has
+    # no cancellation — its error scales with |power|, i.e. it is most
+    # accurate exactly where blend weights are large. Parity tests pin
+    # "f32"; bf16 modes are quality-gated by PSNR-vs-f32 tests instead.
+    "alpha": "f32",
 }
 
 
@@ -250,13 +259,65 @@ def _alpha_terms(f, px, py, ids, lo, hi):
     exp(power + log(op)) rounds differently from op * exp(power) by <= 1
     ulp of each, within the 1e-3 cross-impl tolerance every parity test
     uses (the jnp path keeps the reference's literal op * exp(power))."""
-    hca = -0.5 * f[2:3, :]
-    ncb = -f[3:4, :]
-    hcc = -0.5 * f[4:5, :]
     valid = (ids >= lo) & (ids < hi)  # (1, C)
     # log(op): op rows are padded with zeros for dead lanes -> log(0) =
     # -inf does the masking; explicitly force invalid (neighbor-tile) lanes
     logop = jnp.where(valid, jnp.log(f[8:9, :]), -jnp.inf)  # (1, C)
+    mode = TUNE["alpha"]
+    if mode in ("bf16", "bf16x"):
+        # Cholesky factorization of the conic, per-instance (1, C) rows in
+        # f32 (narrow — cost amortizes over P pixels): power =
+        # -0.5*(u^2 + v^2) with u = l11*dx, v = l21*dx + l22*dy. Unlike the
+        # direct quadratic, the sum-of-squares form has NO cancellation, so
+        # the wide (P, C) chain can run in bf16: abs(power error) ~
+        # |u|*|du| + |v|*|dv| ~ |power| * 2^-8 — error vanishes where the
+        # blend weight is large. power <= 0 holds by construction, so the
+        # reference's power>0 skip (forward.cu:337-340) is free.
+        ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
+        # PIVOTED factorization (factor on the larger diagonal): for PSD
+        # conics |cb| <= sqrt(ca*cc) <= max diag, so pivoting bounds the
+        # off-diagonal factor |l21| <= l11 — without it, an elongated
+        # near-axis-aligned gaussian gives l21 = cb/sqrt(tiny) and the
+        # v = l21*dx + l22*dy cancellation amplifies bf16 rounding to an
+        # O(1) power error (measured 31.5 dB vs f32; pivoted: ~50 dB).
+        # u = p*dx + q*dy, v = r*dx + s*dy with per-instance narrow rows.
+        piv = ca >= cc
+        d1 = jnp.where(piv, ca, cc)
+        l11 = jnp.sqrt(d1)
+        inv = jnp.where(d1 > 0, 1.0 / jnp.maximum(l11, 1e-30), 0.0)
+        l21 = cb * inv
+        l22 = jnp.sqrt(jnp.maximum(jnp.where(piv, cc, ca) - l21 * l21, 0.0))
+        zero = jnp.zeros_like(l11)
+        p_c = jnp.where(piv, l11, zero)
+        q_c = jnp.where(piv, zero, l11)
+        r_c = jnp.where(piv, l21, l22)
+        s_c = jnp.where(piv, l22, l21)
+        if mode == "bf16x":
+            # fully-bf16 subtraction: px/py and the center rows are GLOBAL
+            # coordinates (bf16-rounding them directly would cost up to
+            # |x|*2^-9 ~ 2px at 1080p), so shift both operands to the
+            # tile-local frame on their cheap NARROW axes first — the wide
+            # (P, C) subtraction is then the only full pass, in bf16.
+            x0, y0 = px[0:1, 0:1], py[0:1, 0:1]
+            dxb = (f[0:1, :] - x0).astype(jnp.bfloat16) - (
+                px - x0).astype(jnp.bfloat16)
+            dyb = (f[1:2, :] - y0).astype(jnp.bfloat16) - (
+                py - y0).astype(jnp.bfloat16)
+        else:
+            dxb = (f[0:1, :] - px).astype(jnp.bfloat16)  # (P, C)
+            dyb = (f[1:2, :] - py).astype(jnp.bfloat16)
+        u = p_c.astype(jnp.bfloat16) * dxb + q_c.astype(jnp.bfloat16) * dyb
+        v = r_c.astype(jnp.bfloat16) * dxb + s_c.astype(jnp.bfloat16) * dyb
+        q = (u * u + v * v).astype(jnp.float32)  # (P, C) = -2*power
+        power = -0.5 * q
+        alpha_raw = jnp.exp(power + logop)
+        alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+        keep = alpha_raw >= ALPHA_MIN
+        alpha = jnp.where(keep, alpha, 0.0)
+        return alpha, alpha_raw, power, keep
+    hca = -0.5 * f[2:3, :]
+    ncb = -f[3:4, :]
+    hcc = -0.5 * f[4:5, :]
     dx = f[0:1, :] - px  # (P, C)
     dy = f[1:2, :] - py
     # power = -0.5 ca dx^2 - cb dx dy - 0.5 cc dy^2, FMA-chained

@@ -192,6 +192,24 @@ def main():
     modes = sys.argv[1:] or ["full", "no_color", "no_scan", "alpha_cheap",
                              "dma_only"]
     for mode in modes:
+        # TUNE['alpha'] probes: run the PRODUCTION kernel (not the local
+        # ablation clone) under each alpha mode, e.g. "tune:bf16"
+        if mode.startswith("tune:"):
+            import gaussian_splatting_with_eye_tracking_tpu.ops.pallas_blend as pbm
+            old = pbm.TUNE["alpha"]
+            pbm.TUNE["alpha"] = mode.split(":", 1)[1]
+            jax.clear_caches()
+            try:
+                def s_fn(fs, o_, c_, i):
+                    cnt = (o_[1:] - o_[:-1]).astype(jnp.int32)
+                    return pb._fwd_call(fs * (1 + 1e-12 * i), o_, cnt,
+                                        GX, GY, TILE, CHUNK, False)
+                t = timeit(s_fn, feat_soa, offsets, counts)
+                print(f"fwd[{mode:12s}]: {t*1e3:8.3f} ms", flush=True)
+            finally:
+                pbm.TUNE["alpha"] = old
+                jax.clear_caches()
+            continue
         call = make_kernel(mode)
 
         def s_fn(fs, o_, c_, i, call=call):

@@ -332,3 +332,71 @@ class TestFusedInstanceBuilder:
             np.asarray(si.binning.offsets), np.asarray(b.offsets))
         np.testing.assert_array_equal(
             np.asarray(si.binning.tile_id), np.asarray(b.tile_id))
+
+
+class TestAlphaPrecisionModes:
+    """TUNE['alpha'] bf16 modes (pivoted-Cholesky -(u^2+v^2)/2 with the
+    wide chain in bf16): deliberately LOSSY — the bf16 product/square
+    roundings leave ~1.5% relative error in q, i.e. |power|*1.5% absolute,
+    measured ~33 dB vs the f32 render. That rules them out for training
+    (default stays 'f32'; the strict 1e-3 cross-impl parity tests pin it)
+    but comfortably beats the foveated path's 18 dB decimation floor, so
+    the intended consumer is peripheral-tile AMR rendering. These tests
+    gate the measured quality so a regression can't silently worsen it."""
+
+    @pytest.mark.parametrize("mode", ["bf16", "bf16x"])
+    def test_render_psnr_vs_f32(self, mode):
+        cam = make_camera(128, 128)
+        means, scales, quats, op, sh = make_random_gaussians(1200, seed=13)
+        kw = dict(sh_degree=2, max_instances=1 << 14, max_per_tile=1024)
+
+        def render():
+            jax.clear_caches()  # TUNE is read at trace time
+            out = rast.rasterize(
+                means, scales, quats, op, sh, cam, BG, impl="pallas", **kw)
+            return np.asarray(out.color)
+
+        old = pallas_blend.TUNE["alpha"]
+        try:
+            pallas_blend.TUNE["alpha"] = "f32"
+            exact = render()
+            pallas_blend.TUNE["alpha"] = mode
+            lossy = render()
+        finally:
+            pallas_blend.TUNE["alpha"] = old
+            jax.clear_caches()
+        mse = float(np.mean((exact - lossy) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 30.0, f"{mode}: PSNR vs f32 = {psnr:.1f} dB"
+
+    def test_grads_directionally_match(self):
+        cam = make_camera(64, 64)
+        means, scales, quats, op, sh = make_random_gaussians(300, seed=14)
+        kw = dict(sh_degree=0, max_instances=1 << 13, max_per_tile=512)
+        gt = jax.random.uniform(jax.random.PRNGKey(3), (3, 64, 64))
+
+        def grads():
+            jax.clear_caches()
+
+            def loss(m, s, o):
+                out = rast.rasterize(m, s, quats, o, sh, cam, BG,
+                                     impl="pallas", **kw)
+                return jnp.mean(jnp.abs(out.color - gt))
+            return jax.grad(loss, argnums=(0, 1, 2))(means, scales, op)
+
+        old = pallas_blend.TUNE["alpha"]
+        try:
+            pallas_blend.TUNE["alpha"] = "f32"
+            g_exact = [np.asarray(g) for g in grads()]
+            pallas_blend.TUNE["alpha"] = "bf16"
+            g_lossy = [np.asarray(g) for g in grads()]
+        finally:
+            pallas_blend.TUNE["alpha"] = old
+            jax.clear_caches()
+        for a, b, name in zip(g_lossy, g_exact, ("means", "scales", "op")):
+            # cosine similarity per tensor: sanity only — training keeps
+            # 'f32' (measured ~0.976 on means; too rotated to train with,
+            # fine for the fwd-only foveated consumer)
+            cos = float((a * b).sum() /
+                        (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+            assert cos > 0.95, f"{name}: grad cosine {cos:.5f}"

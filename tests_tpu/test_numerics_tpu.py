@@ -269,6 +269,11 @@ class TestSegsumKernelHardware:
         finally:
             pallas_blend.TUNE["segreduce"] = old
         for a, b, name in zip(g_s, g_c, ("means", "scales", "op")):
+            # atol floor: the two modes sum each segment in different orders
+            # (blocked cumsum + boundary difference vs direct range-test
+            # window sums), so near-cancelling segments legitimately differ
+            # by a few f32 ulps of the SUMMAND magnitude, not of the result
+            # (observed: 3.3e-7 abs on ~1e-6 results at max|grad| 1.7e-2).
             scale = np.abs(b).max() + 1e-12
-            np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=1e-4,
+            np.testing.assert_allclose(a, b, atol=1e-4 * scale, rtol=1e-4,
                                        err_msg=name)
