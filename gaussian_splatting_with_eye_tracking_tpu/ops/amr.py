@@ -96,14 +96,20 @@ def gaze_levels(
     t = jnp.arange(grid_x * grid_y)
     cx = (t % grid_x) * tile + tile / 2.0
     cy = (t // grid_x) * tile + tile / 2.0
-    d = jnp.sqrt((cx - gaze_xy[0]) ** 2 + (cy - gaze_xy[1]) ** 2)
+    # squared-distance comparisons, EXACTLY matching ops/binning.
+    # gaze_decimation_keep's ring test (the binning-time decimation keys
+    # its survival ratio off the same rings; a sqrt-vs-square rounding
+    # disagreement on a knife-edge tile would desynchronize the kernel's
+    # compensation exponent from the actual survival ratio)
+    d2 = (cx - gaze_xy[0]) ** 2 + (cy - gaze_xy[1]) ** 2
+    r2 = radii * radii
     cap = (
-        4 * (d <= radii[0])
-        + 3 * ((d > radii[0]) & (d <= radii[1]))
-        + 2 * ((d > radii[1]) & (d <= radii[2]))
-        + 1 * (d > radii[2])
+        4 * (d2 <= r2[0])
+        + 3 * ((d2 > r2[0]) & (d2 <= r2[1]))
+        + 2 * ((d2 > r2[1]) & (d2 <= r2[2]))
+        + 1 * (d2 > r2[2])
     )
-    boosted = jnp.where(d <= radii[0], 4, jnp.minimum(tile_levels, cap))
+    boosted = jnp.where(d2 <= r2[0], 4, jnp.minimum(tile_levels, cap))
     return boosted.astype(jnp.int32)
 
 
@@ -117,9 +123,20 @@ def fovea_step0(
     gaze_radii: Optional[jnp.ndarray] = None,
     percentiles=(0.25, 0.5, 0.9),
     chunk: int = 128,
+    predecimate=None,
 ) -> AMRState:
     """Step 0: preprocess + bin + level assignment, no rendering
-    (amr/rasterizer_impl.cu:470-653 foveaStep==0 path)."""
+    (amr/rasterizer_impl.cu:470-653 foveaStep==0 path).
+
+    ``predecimate`` (tuple of 4 per-level steps, requires gaze_xy/radii):
+    decimate peripheral tiles' instances AT BINNING TIME
+    (ops/binning.gaze_decimation_keep) so dropped instances never enter
+    the megasort or the kernels' DMA streams — the binning-at-scale
+    lever (VERDICT r4 #4: at 4M gaussians step 0 alone was 115 ms, which
+    no in-kernel decimation touches). Tile levels are then the PURE gaze
+    rings (the percentile component needs post-sort counts, which would
+    desynchronize the kernel's compensation exponent from the survival
+    ratio applied in the cull)."""
     grid_x = -(-cam.width // tile)
     grid_y = -(-cam.height // tile)
     prep = preprocess(
@@ -129,17 +146,28 @@ def fovea_step0(
     from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
 
     interpret = jax.default_backend() == "cpu"
+    gaze_decim = None
+    if predecimate is not None:
+        if gaze_xy is None or gaze_radii is None:
+            raise ValueError("predecimate requires gaze_xy and gaze_radii")
+        gaze_decim = (gaze_xy, gaze_radii, tuple(predecimate))
     si = binning_ops.build_sorted_instances(
         prep.means2d, prep.conics, prep.rgb, prep.opacities,
         prep.tiles_touched, prep.rect_min, prep.rect_max, prep.cull_thr,
         prep.depths, grid_x, grid_y, max_instances, tile_px=tile,
-        interpret=interpret,
+        interpret=interpret, gaze_decim=gaze_decim,
     )
     b = si.binning
     counts = b.offsets[1:] - b.offsets[:-1]
-    levels = assign_levels(counts, percentiles)
-    if gaze_xy is not None:
-        levels = gaze_levels(levels, grid_x, grid_y, tile, gaze_xy, gaze_radii)
+    if predecimate is not None:
+        levels = gaze_levels(
+            jnp.full((grid_x * grid_y,), 4, jnp.int32), grid_x, grid_y,
+            tile, gaze_xy, gaze_radii)
+    else:
+        levels = assign_levels(counts, percentiles)
+        if gaze_xy is not None:
+            levels = gaze_levels(levels, grid_x, grid_y, tile, gaze_xy,
+                                 gaze_radii)
     return AMRState(
         xy=prep.means2d, conics=prep.conics, rgb=prep.rgb,
         opacities=prep.opacities,
@@ -265,6 +293,7 @@ def render_amr_fused(
     percentiles=(0.25, 0.5, 0.9),
     state: Optional[AMRState] = None,
     decimation=(1, 1, 1, 1),
+    predecimate: bool = False,
 ):
     """Single-pass foveated AMR render, output-identical to the 5-step
     protocol (render_amr) but with each tile's instance list streamed ONCE.
@@ -301,6 +330,7 @@ def render_amr_fused(
             tile=tile, max_instances=max_instances, active_mask=active_mask,
             gaze_xy=gaze_xy, gaze_radii=gaze_radii, chunk=chunk,
             percentiles=percentiles,
+            predecimate=tuple(decimation) if predecimate else None,
         )
     counts = (state.offsets[1:] - state.offsets[:-1]).astype(jnp.int32)
     pw = tile // 2
@@ -319,7 +349,7 @@ def render_amr_fused(
     tiles_all = pallas_blend.blend_levels_fused_pallas(
         state.feat_soa, state.offsets, counts, state.tile_levels,
         grid_x, grid_y, tile, chunk=chunk, interpret=interpret,
-        decimation=tuple(decimation),
+        decimation=tuple(decimation), scale_only=predecimate,
     )
     for r in range(4):
         gate_px = lvlmap > r  # round r+1 rendered where level >= r+1

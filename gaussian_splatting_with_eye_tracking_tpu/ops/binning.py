@@ -276,10 +276,38 @@ def _cumsum_i32_blocked(col, blk=512):
     return (inner + offs[:, None]).reshape(-1)[:s].astype(jnp.int32)
 
 
+def gaze_decimation_keep(tx, ty, gid, gaze_xy, radii, steps, tile_px):
+    """Binning-time foveated instance decimation: keep an instance of
+    gaussian ``gid`` in tile (tx, ty) iff gid falls in the tile's stratum
+    of its gaze-ring level's decimation step. The level formula MATCHES
+    ops/amr.gaze_levels (tile-center distance vs the three ring radii) so
+    the blend kernel's per-tile compensation exponent (scale_only path,
+    pallas_blend._blend_stream_loop) always equals the survival ratio
+    applied here. Strata rotate per tile (gid % step == tile_hash % step)
+    so neighboring tiles keep DIFFERENT subsets — decimation error decor-
+    relates across the tile grid instead of dropping the same gaussians
+    everywhere. Dropped instances never enter the megasort: at 1080p gaze
+    rings (h/8, h/4, h/2) with steps (4, 2, 1, 1), ~58% of peripheral
+    instances vanish from every downstream stage."""
+    cx = tx.astype(jnp.float32) * tile_px + tile_px / 2.0 - gaze_xy[0]
+    cy = ty.astype(jnp.float32) * tile_px + tile_px / 2.0 - gaze_xy[1]
+    d2 = cx * cx + cy * cy
+    lvl = 4 - ((d2 > radii[0] * radii[0]).astype(jnp.int32)
+               + (d2 > radii[1] * radii[1]).astype(jnp.int32)
+               + (d2 > radii[2] * radii[2]).astype(jnp.int32))
+    st = jnp.ones_like(lvl)
+    for level in (1, 2, 3, 4):
+        if steps[level - 1] > 1:
+            st = jnp.where(lvl == level, steps[level - 1], st)
+    tile_hash = ty * 797 + tx  # odd multiplier decorrelates rows
+    return (gid % st) == (tile_hash % st)
+
+
 def build_sorted_instances(
     means2d, conics, rgb, opacities, tiles_touched, rect_min, rect_max,
     cull_thr, depths, grid_x: int, grid_y: int, max_instances: int,
     tile_px: int, max_live: int | None = None, interpret: bool = False,
+    gaze_decim=None,
 ) -> SortedInstances:
     """Depth-sorted CSR instance list AND its feature rows, gather-free.
 
@@ -369,6 +397,10 @@ def build_sorted_instances(
     tx = (rectp >> 10) + r % w_r
     ty = miny + r // w_r
     kept = valid & _tile_ellipse_kept(tx, ty, cx, cy, ca, cb, cc, thr, tile_px)
+    if gaze_decim is not None:
+        gxy, g_radii, g_steps = gaze_decim
+        kept = kept & gaze_decimation_keep(
+            tx, ty, gid_k, gxy, g_radii, tuple(g_steps), tile_px)
     tile_id = jnp.where(kept, ty * grid_x + tx, num_tiles)
 
     n_live_total = jnp.sum(kept.astype(jnp.int32))

@@ -414,7 +414,8 @@ def _pixel_coords_rounds(t, grid_x, tile, n_rounds):
 
 def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
                        px, py, chunk, pixels, blk, prefix_m,
-                       cwstash=None, cfstash=None, step: int = 1):
+                       cwstash=None, cfstash=None, step: int = 1,
+                       scale_only: bool = False):
     """The shared double-buffered chunk-stream + log-space compositing loop
     (see _fwd_kernel header notes). Returns (chunks_done, logT (P, 1),
     rgb_acc (P, 3)). Row-independent: ``px``/``py`` may stack any pixel
@@ -435,15 +436,24 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
     to cut the per-tile instance WORK, not just the pixel rows — cutting
     pixel rows alone leaves coarse tiles paying the full per-chunk stream
     cost (VERDICT r3 weak #2: fused foveation saved nothing because the
-    kernels are instance-stream-bound)."""
+    kernels are instance-stream-bound).
+
+    ``scale_only`` (with step > 1): the stream was ALREADY decimated
+    upstream (binning-time gaze decimation, ops/binning gaze_decim — the
+    dropped instances never entered the megasort), so every chunk is
+    fetched (stride 1) and only the aggregate-opacity compensation
+    lom * step applies, to every instance uniformly (each survivor stands
+    in for ``step`` originals; there is no exact tail count here, unlike
+    the chunk-stride path whose tail rep is known)."""
 
     nbuf = fbuf.shape[0]
     n_chunks_full = n_chunks
-    if step > 1:
+    dma_step = 1 if scale_only else step
+    if step > 1 and not scale_only:
         n_chunks = pl.cdiv(n_chunks, step)
 
     def dma(slot, ci):
-        off = pl.multiple_of(start + ci * step * chunk, chunk)
+        off = pl.multiple_of(start + ci * dma_step * chunk, chunk)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(off, chunk)],
             fbuf.at[slot],
@@ -478,7 +488,7 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
 
         dma(ci % nbuf, ci).wait()
         f = fbuf[ci % nbuf]
-        ids = start + ci * step * chunk + lane_ids
+        ids = start + ci * dma_step * chunk + lane_ids
 
         if defer_color:
             # previous chunk's color matmul overlaps this chunk's VPU chain
@@ -495,7 +505,12 @@ def _blend_stream_loop(feat_hbm, fbuf, sem, o, n, start, n_chunks,
         # saturated tiles (which would zero the backward reconstruction).
         om = 1.0 - alpha  # (P, C)
         lom = jnp.log(om)  # alpha <= 0.99 keeps this finite
-        if step > 1:
+        if step > 1 and scale_only:
+            # pre-decimated stream: uniform compensation, every survivor
+            # stands in for ``step`` originals (masked lanes: lom = 0)
+            lom = lom * float(step)
+            alpha = 1.0 - jnp.exp(lom)
+        elif step > 1:
             # aggregate-opacity compensation: this chunk stands in for
             # ``rep`` original chunks (< step on the tail so partially
             # filled tiles aren't over-weighted): alpha' = 1-(1-alpha)^rep,
@@ -556,6 +571,7 @@ def _fwd_kernel(
     cfstash,  # scratch (2, 8, CHUNK): deferred-color rgb-row handoff
     *, chunk: int, pixels: int, tile: int, grid_x: int, stride: int = 1,
     offx: int = 0, offy: int = 0, n_rounds: int = 0, step: int = 1,
+    scale_only: bool = False,
 ):
     t = pl.program_id(0)
     o = off_ref[t]
@@ -571,7 +587,8 @@ def _fwd_kernel(
 
     ci, logT, rgb_acc = _blend_stream_loop(
         feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk, pixels,
-        blk, prefix_m, cwstash=cwstash, cfstash=cfstash, step=step)
+        blk, prefix_m, cwstash=cwstash, cfstash=cfstash, step=step,
+        scale_only=scale_only)
 
     out_ref[0, :, 0:3] = rgb_acc
     out_ref[0, :, 3:4] = jnp.exp(logT)
@@ -896,7 +913,7 @@ def _sorted_features(xy, conic, rgb, op, gauss_id, chunk):
 
 
 def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
-              stride=1, offx=0, offy=0, n_rounds=0, step=1):
+              stride=1, offx=0, offy=0, n_rounds=0, step=1, scale_only=False):
     num_tiles = grid_x * grid_y
     if n_rounds > 0:
         pixels = n_rounds * (tile // 2) * (tile // 2)
@@ -921,7 +938,8 @@ def _fwd_call(feat_soa, offsets, counts, grid_x, grid_y, tile, chunk, interpret,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, pixels=pixels, tile=tile,
                           grid_x=grid_x, stride=stride, offx=offx, offy=offy,
-                          n_rounds=n_rounds, step=step),
+                          n_rounds=n_rounds, step=step,
+                          scale_only=scale_only),
         out_shape=jax.ShapeDtypeStruct((num_tiles, pixels, OUTC), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1247,7 +1265,7 @@ def _fwd_levels_kernel(
     out_ref,  # (1, 4*sub, OUTC): round r's subgrid in rows [r*sub,(r+1)*sub)
     fbuf, sem, cwstash, cfstash,
     *, chunk: int, tile: int, grid_x: int,
-    decimation: tuple = (1, 1, 1, 1),
+    decimation: tuple = (1, 1, 1, 1), scale_only: bool = False,
 ):
     """ONE kernel pass per tile computing AMR rounds 1..level_t stacked on
     the pixel-row axis of a SINGLE compositing pipeline (the chunk loop is
@@ -1280,7 +1298,7 @@ def _fwd_levels_kernel(
             ci, logT, rgb_acc = _blend_stream_loop(
                 feat_hbm, fbuf, sem, o, n, start, n_chunks, px, py, chunk,
                 pixels, blk, prefix_m, cwstash=cwstash, cfstash=cfstash,
-                step=decimation[level - 1])
+                step=decimation[level - 1], scale_only=scale_only)
             out_ref[0, 0:pixels, 0:3] = rgb_acc
             out_ref[0, 0:pixels, 3:4] = jnp.exp(logT)
             out_ref[0, 0:pixels, 4:OUTC] = jnp.zeros(
@@ -1290,7 +1308,7 @@ def _fwd_levels_kernel(
 def blend_levels_fused_pallas(
     feat_soa, offsets, counts, levels, grid_x, grid_y, tile,
     *, chunk: int = 128, interpret: bool | None = None,
-    decimation: tuple = (1, 1, 1, 1),
+    decimation: tuple = (1, 1, 1, 1), scale_only: bool = False,
 ):
     """Single-call fused foveated compositing (see _fwd_levels_kernel).
     Returns (num_tiles, 4*(tile/2)^2, OUTC); rows [r*sub, (r+1)*sub) are
@@ -1314,7 +1332,8 @@ def blend_levels_fused_pallas(
             gated = jnp.where(levels == lvl, counts, 0).astype(jnp.int32)
             parts.append(_fwd_call(
                 feat_soa, offsets, gated, grid_x, grid_y, tile, chunk,
-                True, n_rounds=lvl, step=decimation[lvl - 1]))
+                True, n_rounds=lvl, step=decimation[lvl - 1],
+                scale_only=scale_only))
         out = jnp.zeros((num_tiles, 4 * sub, OUTC), jnp.float32)
         for lvl, p in zip(range(1, 5), parts):
             m = (levels == lvl)[:, None, None]
@@ -1338,7 +1357,8 @@ def blend_levels_fused_pallas(
     )
     return pl.pallas_call(
         functools.partial(_fwd_levels_kernel, chunk=chunk, tile=tile,
-                          grid_x=grid_x, decimation=tuple(decimation)),
+                          grid_x=grid_x, decimation=tuple(decimation),
+                          scale_only=scale_only),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4 * sub, OUTC),
                                        jnp.float32),
         grid_spec=grid_spec,

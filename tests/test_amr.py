@@ -240,3 +240,68 @@ class TestDecimation:
         out1, _ = amr.render_amr_fused(*g, 0, cam, BG,
                                        decimation=(1, 1, 1, 1))
         np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+class TestBinningTimeDecimation:
+    """predecimate: the binning-time gaze decimation path (instances
+    dropped BEFORE the megasort, kernel compensates scale-only)."""
+
+    def test_identity_when_all_fovea(self):
+        """Gaze covering the whole image -> every tile level 4, level-4
+        step 1 -> nothing dropped; predecimate must be bit-equal to the
+        plain gaze render (levels are all 4 either way)."""
+        cam, g = scene(n=500, seed=7)
+        gaze = jnp.array([64.0, 48.0])
+        radii = jnp.array([1e4, 2e4, 3e4])
+        out0, st0 = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii)
+        outp, stp = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii,
+            decimation=(4, 2, 1, 1), predecimate=True)
+        assert int(np.asarray(st0.tile_levels).min()) == 4
+        assert int(np.asarray(stp.tile_levels).min()) == 4
+        np.testing.assert_array_equal(np.asarray(outp), np.asarray(out0))
+
+    def test_peripheral_shrinks_instances_and_approximates(self):
+        """Gaze far outside -> all tiles level 1 (step 4): the instance
+        list must shrink ~4x AND the render must stay close to the
+        undecimated foveated render (same lvl-1 resolution both sides)."""
+        cam, g = scene(n=3000, seed=4, w=128, h=96)
+        gaze = jnp.array([1e6, 1e6])
+        radii = jnp.array([10.0, 20.0, 30.0])
+        out0, st0 = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii)
+        outp, stp = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii,
+            decimation=(4, 2, 1, 1), predecimate=True)
+        n0 = int(np.asarray(st0.num_instances))
+        np_ = int(np.asarray(stp.num_instances))
+        assert np_ < 0.45 * n0, (np_, n0)  # ~1/4 kept (stratum noise ok)
+        a, b = np.asarray(out0), np.asarray(outp)
+        mse = float(((a - b) ** 2).mean())
+        psnr = -10 * np.log10(max(mse, 1e-12))
+        # same regime as test_decimated_approximates_dense: adversarial
+        # i.i.d. scene; binning-time stratified drop must not be WORSE
+        # than the in-kernel chunk-stride decimation's floor
+        assert psnr > 17.0, psnr
+
+    def test_matches_kernel_decimation_quality(self):
+        """Stratified binning-time drop vs in-kernel chunk-stride drop:
+        both approximate the same undecimated render; neither should be
+        dramatically worse (they model the same survival process)."""
+        cam, g = scene(n=3000, seed=9, w=128, h=96)
+        gaze = jnp.array([1e6, 1e6])
+        radii = jnp.array([10.0, 20.0, 30.0])
+        out0, _ = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii)
+        outk, _ = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii,
+            decimation=(4, 2, 1, 1))
+        outp, _ = amr.render_amr_fused(
+            *g, 0, cam, BG, gaze_xy=gaze, gaze_radii=radii,
+            decimation=(4, 2, 1, 1), predecimate=True)
+        def psnr(x):
+            mse = float(((np.asarray(out0) - np.asarray(x)) ** 2).mean())
+            return -10 * np.log10(max(mse, 1e-12))
+        pk, pp = psnr(outk), psnr(outp)
+        assert pp > pk - 3.0, (pp, pk)

@@ -132,7 +132,10 @@ def main():
     print("== training (CLI) ==", flush=True)
     import train as train_cli
 
-    test_iters = [1000, 3500, 7000, 15000, 22000, args.iters]
+    # 14500, not 15000: an eval AT an opacity-reset iteration measures the
+    # freshly-reset (opacity 0.01) model and records an artifact dip
+    # (observed: PSNR 14.56 at the 15000 eval of an otherwise-healthy run)
+    test_iters = [1000, 3500, 7000, 14500, 22000, args.iters]
     t0 = time.time()
     scene, state = None, None
     import io
