@@ -101,7 +101,7 @@ def main(argv=None):
             state.sh_degree, deg)[None, None, :]
         sc, op_ = gm.get_scaling(p), gm.get_opacity(p)
 
-        def render(decimation, alpha_mode="f32"):
+        def render(decimation, alpha_mode="f32", predecimate=False):
             old = pallas_blend.TUNE["alpha"]
             pallas_blend.TUNE["alpha"] = alpha_mode
             jax.clear_caches()
@@ -109,7 +109,8 @@ def main(argv=None):
                 f = jax.jit(lambda xyz, s_, r_, o_, h_, a_: amr_ops.render_amr_fused(
                     xyz, s_, r_, o_, h_, deg, cam, bg, active_mask=a_,
                     max_instances=args.max_instances, gaze_xy=gaze,
-                    gaze_radii=radii, decimation=decimation)[0])
+                    gaze_radii=radii, decimation=decimation,
+                    predecimate=predecimate)[0])
                 out = np.clip(np.asarray(
                     f(p.xyz, sc, p.rotation, op_, sh, active)), 0, 1)
             finally:
@@ -121,17 +122,25 @@ def main(argv=None):
         row = {"workload": name, "num_gaussians": int(p.xyz.shape[0]),
                "gaze_rings_px": [float(r) for r in np.asarray(radii)],
                "decimation": [], "alpha_modes": []}
+        # predecimate baseline: its level map is the PURE gaze rings (the
+        # percentile component is undefined pre-sort), so compare it
+        # against an undecimated render with the SAME pure-gaze levels
+        base_pre = render((1, 1, 1, 1), predecimate=True)
         for d in decims:
             img = render(d)
             ps, ss = psnr_ssim(img, base)
+            imgp = render(d, predecimate=True)
+            psp, ssp = psnr_ssim(imgp, base_pre)
             row["decimation"].append(
                 {"decimation": list(d), "psnr_db": round(ps, 2),
-                 "ssim": round(ss, 4)})
-            print(f"[{name}] decim {d}: PSNR {ps:.2f} dB SSIM {ss:.4f}",
+                 "ssim": round(ss, 4), "predecimate_psnr_db": round(psp, 2),
+                 "predecimate_ssim": round(ssp, 4)})
+            print(f"[{name}] decim {d}: kernel PSNR {ps:.2f} dB SSIM "
+                  f"{ss:.4f} | binning-time PSNR {psp:.2f} dB SSIM {ssp:.4f}",
                   flush=True)
             if png_panels is None and d == (4, 2, 1, 1) and \
                     name.startswith("synthetic"):
-                png_panels = (base, img)
+                png_panels = (base_pre, imgp)
         for m in args.alpha_modes:
             img = render((1, 1, 1, 1), alpha_mode=m)
             ps, ss = psnr_ssim(img, base)

@@ -142,7 +142,7 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
           f"-> {1/t_fused:.1f} fps", flush=True)
 
     # --- FUSED + instance-stream decimation on coarse tiles ------------
-    t_fused_dec = None
+    t_fused_dec = t_fused_pre = None
     if tuple(decimation) != (1, 1, 1, 1):
         t_fused_dec = chain_args(lambda xyz, sc, rot, op_, sh_, act: jnp.mean(
             amr_ops.render_amr_fused(
@@ -152,6 +152,19 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
         print(f"FUSED + decimation {tuple(decimation)}: "
               f"{t_fused_dec*1000:.2f} ms -> {1/t_fused_dec:.1f} fps",
               flush=True)
+        if use_gaze:
+            # binning-time decimation: dropped instances never reach the
+            # megasort or the kernels' DMA streams (ops/binning.
+            # gaze_decimation_keep) — the step-0-at-scale lever
+            t_fused_pre = chain_args(
+                lambda xyz, sc, rot, op_, sh_, act: jnp.mean(
+                    amr_ops.render_amr_fused(
+                        xyz, sc, rot, op_, sh_, max_sh_degree, cam, bg,
+                        active_mask=act, decimation=tuple(decimation),
+                        predecimate=True, **step0_kw)[0]))
+            print(f"FUSED + BINNING-TIME decimation {tuple(decimation)}: "
+                  f"{t_fused_pre*1000:.2f} ms -> {1/t_fused_pre:.1f} fps",
+                  flush=True)
 
     # --- plain full-res forward (the bar to beat) ----------------------
     t_plain = chain_args(lambda xyz, sc, rot, op_, sh_, act: jnp.mean(
@@ -160,7 +173,8 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
                        active_mask=act, impl=impl).color))
     print(f"plain full-res forward: {t_plain*1000:.2f} ms "
           f"-> {1/t_plain:.1f} fps", flush=True)
-    best = t_fused_dec if t_fused_dec is not None else t_fused
+    best = min(t for t in (t_fused, t_fused_dec, t_fused_pre)
+               if t is not None)
     print(f"fused foveated / plain = {best/t_plain:.2f}x "
           f"({'FASTER' if best < t_plain else 'SLOWER'})", flush=True)
 
@@ -179,6 +193,9 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
         doc["decimation"] = list(decimation)
         doc["fused_decimated_ms"] = t_fused_dec * 1000
         doc["fused_decimated_fps"] = 1.0 / t_fused_dec
+    if t_fused_pre is not None:
+        doc["fused_predecimated_ms"] = t_fused_pre * 1000
+        doc["fused_predecimated_fps"] = 1.0 / t_fused_pre
     with open(out_json, "w") as f:
         json.dump(doc, f, indent=2)
     return doc

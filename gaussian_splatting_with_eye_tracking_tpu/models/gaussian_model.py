@@ -259,6 +259,63 @@ def oneup_sh_degree(state: GaussianModelState, max_sh_degree: int) -> GaussianMo
     return state._replace(sh_degree=jnp.minimum(state.sh_degree + 1, max_sh_degree))
 
 
+def grow_capacity(state: GaussianModelState, new_cap: int) -> GaussianModelState:
+    """Grow the POINT capacity buffer (between jitted steps).
+
+    The reference grows its parameter tensors unboundedly with torch.cat
+    at every densify (scene/gaussian_model.py:258-327); under XLA's static
+    shapes growth is instead a bucketed re-pad: every (C, ...) leaf —
+    params, active mask, accumulators, Adam moments — is padded to
+    ``new_cap`` with the same inert fills create_from_points uses
+    (identity quaternions, scaling -10, opacity logit of 0.1, zero Adam
+    moments), and the train step re-jits at the new shape on next call.
+    Without this, densification silently saturates at the initial
+    ``next_pow2(n_init * 8)`` — the r5 30k run pinned at 8,188/8,192
+    points with clone/split allocation failing from iteration ~2000 on.
+
+    No-op when ``new_cap <= capacity``. In multi-process mode every
+    process must call this at the same iteration (the arrays are
+    replicated; the pad is elementwise-deterministic)."""
+    cap = state.params.xyz.shape[0]
+    if new_cap <= cap:
+        return state
+    pad_n = new_cap - cap
+
+    def pad(v, fill=0.0):
+        return jnp.concatenate(
+            [v, jnp.full((pad_n,) + v.shape[1:], fill, v.dtype)], axis=0)
+
+    p = state.params
+    params = GaussianParams(
+        xyz=pad(p.xyz),
+        f_dc=pad(p.f_dc),
+        f_rest=pad(p.f_rest),
+        scaling=pad(p.scaling, -10.0),
+        rotation=jnp.concatenate(
+            [p.rotation,
+             jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]], p.rotation.dtype),
+                      (pad_n, 1))], axis=0),
+        opacity=pad(p.opacity, float(np.log(0.1 / 0.9))),
+    )
+
+    def pad_opt(v):
+        # row-indexed Adam moment leaves share the capacity leading dim;
+        # scalars (count) and any non-(C,...) leaves pass through
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == cap:
+            return pad(v)
+        return v
+
+    return GaussianModelState(
+        params=params,
+        active=pad(state.active, False),
+        max_radii2d=pad(state.max_radii2d),
+        xyz_grad_accum=pad(state.xyz_grad_accum),
+        denom=pad(state.denom),
+        opt_state=jax.tree_util.tree_map(pad_opt, state.opt_state),
+        sh_degree=state.sh_degree,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Densification statistics (reference add_densification_stats, :405-407)
 # ---------------------------------------------------------------------------

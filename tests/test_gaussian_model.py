@@ -236,3 +236,70 @@ class TestSHDegreeAnnealing:
         np.testing.assert_array_equal(
             np.asarray(m), [True] * 4 + [False] * 12
         )
+
+
+class TestGrowCapacity:
+    def test_grow_preserves_rows_and_optimizer(self):
+        state, tx, opt, pts, cols = small_state(n=32, cap=64)
+        # give the Adam moments some signal first
+        g = jax.tree.map(jnp.ones_like, state.params)
+        upd, new_opt = tx.update(g, state.opt_state, state.params)
+        state = state._replace(
+            params=jax.tree.map(lambda p, u: p + u, state.params, upd),
+            opt_state=new_opt,
+        )
+        grown = gm.grow_capacity(state, 128)
+        assert grown.params.xyz.shape == (128, 3)
+        assert int(gm.num_active(grown)) == 32
+        # old rows intact, params AND moments
+        for f in state.params._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(grown.params, f))[:64],
+                np.asarray(getattr(state.params, f)))
+        old_mu = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                  if hasattr(l, "shape") and l.ndim >= 1 and l.shape[0] == 64]
+        new_mu = [l for l in jax.tree_util.tree_leaves(grown.opt_state)
+                  if hasattr(l, "shape") and l.ndim >= 1 and l.shape[0] == 128]
+        assert len(old_mu) == len(new_mu) > 0
+        for o, nw in zip(old_mu, new_mu):
+            np.testing.assert_array_equal(np.asarray(nw)[:64], np.asarray(o))
+            assert not np.asarray(nw)[64:].any()  # fresh moments are zero
+        # pad rows use the inert fills (unit quats: no NaN in preprocess)
+        rot = np.asarray(grown.params.rotation[64:])
+        np.testing.assert_array_equal(rot[:, 0], 1.0)
+
+    def test_densify_fills_grown_space(self):
+        """Saturate a small capacity, grow, and confirm clone/split can
+        allocate again — the regression the r5 30k run hit (points pinned
+        at next_pow2(n*8) because nothing ever grew the buffer)."""
+        state, tx, opt, *_ = small_state(n=60, cap=64)
+        state = state._replace(
+            xyz_grad_accum=state.xyz_grad_accum.at[:60].set(10.0),
+            denom=state.denom.at[:].set(1.0),
+        )
+        new, info = gm.densify_and_prune(
+            state, jax.random.PRNGKey(0), grad_threshold=1e-4,
+            min_opacity=0.0, extent=1.0, max_screen_size=0.0)
+        n_capped = int(gm.num_active(new))
+        assert n_capped <= 64  # saturated
+        state2 = gm.grow_capacity(state, 256)
+        new2, info2 = gm.densify_and_prune(
+            state2, jax.random.PRNGKey(0), grad_threshold=1e-4,
+            min_opacity=0.0, extent=1.0, max_screen_size=0.0)
+        assert int(gm.num_active(new2)) > n_capped
+
+    def test_train_step_runs_after_growth(self):
+        from gaussian_splatting_with_eye_tracking_tpu import train_lib
+        from tests.helpers import make_camera
+        state, tx, opt, *_ = small_state(n=32, cap=64)
+        cam = make_camera(64, 64)
+        step = train_lib.make_train_step(
+            tx, opt, max_sh_degree=2, width=64, height=64, impl="jnp",
+            max_instances=1 << 12, max_live=1 << 12)
+        gt = jnp.zeros((3, 64, 64))
+        bg = jnp.zeros(3)
+        state, aux = step(state, *train_lib.camera_arrays(cam), gt, bg, True)
+        grown = gm.grow_capacity(state, 128)
+        grown, aux2 = step(grown, *train_lib.camera_arrays(cam), gt, bg, True)
+        assert np.isfinite(float(aux2.loss))
+        assert int(gm.num_active(grown)) == 32

@@ -14,6 +14,11 @@ import jax
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu_only: requires the real TPU backend (skipped on CPU)")
+
+
 def pytest_collection_modifyitems(config, items):
     if jax.default_backend() != "tpu":
         marker = pytest.mark.skip(reason="requires TPU backend")

@@ -264,6 +264,18 @@ def training(
         # density control (reference train.py:110-120)
         if iteration < opt.densify_until_iter:
             if densify_phase and iteration % opt.densification_interval == 0:
+                # grow the POINT capacity ahead of saturation (the
+                # reference torch.cats unboundedly; static shapes make
+                # growth a host-side re-pad + re-jit — gm.grow_capacity).
+                # 85% headroom: one densify round can clone+split up to
+                # ~2x the high-grad set.
+                n_act = int(gm.num_active(state))
+                cap_pts = state.params.xyz.shape[0]
+                if n_act > 0.85 * cap_pts and cap_pts < (1 << 22):
+                    state = gm.grow_capacity(state, cap_pts * 2)
+                    if is_main and not quiet:
+                        print(f"[it {iteration}] point capacity -> "
+                              f"{cap_pts * 2} ({n_act} active)")
                 key, sub = jax.random.split(key)
                 max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
                 state, info = train_lib.densify_step(
