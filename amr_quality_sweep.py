@@ -102,21 +102,19 @@ def main(argv=None):
         sc, op_ = gm.get_scaling(p), gm.get_opacity(p)
 
         def render(decimation, alpha_mode="f32", predecimate=False):
-            old = pallas_blend.TUNE["alpha"]
-            pallas_blend.TUNE["alpha"] = alpha_mode
-            jax.clear_caches()
-            try:
-                f = jax.jit(lambda xyz, s_, r_, o_, h_, a_: amr_ops.render_amr_fused(
-                    xyz, s_, r_, o_, h_, deg, cam, bg, active_mask=a_,
-                    max_instances=args.max_instances, gaze_xy=gaze,
-                    gaze_radii=radii, decimation=decimation,
-                    predecimate=predecimate)[0])
-                out = np.clip(np.asarray(
-                    f(p.xyz, sc, p.rotation, op_, sh, active)), 0, 1)
-            finally:
-                pallas_blend.TUNE["alpha"] = old
+            # TUNE is read at trace time: flush jit caches only when the
+            # mode actually changes (decimation/predecimate are static
+            # args with their own cache entries)
+            if pallas_blend.TUNE["alpha"] != alpha_mode:
+                pallas_blend.TUNE["alpha"] = alpha_mode
                 jax.clear_caches()
-            return out
+            f = jax.jit(lambda xyz, s_, r_, o_, h_, a_: amr_ops.render_amr_fused(
+                xyz, s_, r_, o_, h_, deg, cam, bg, active_mask=a_,
+                max_instances=args.max_instances, gaze_xy=gaze,
+                gaze_radii=radii, decimation=decimation,
+                predecimate=predecimate)[0])
+            return np.clip(np.asarray(
+                f(p.xyz, sc, p.rotation, op_, sh, active)), 0, 1)
 
         base = render((1, 1, 1, 1))
         row = {"workload": name, "num_gaussians": int(p.xyz.shape[0]),
@@ -149,6 +147,9 @@ def main(argv=None):
             print(f"[{name}] alpha {m}: PSNR {ps:.2f} dB SSIM {ss:.4f}",
                   flush=True)
         results.append(row)
+    if pallas_blend.TUNE["alpha"] != "f32":
+        pallas_blend.TUNE["alpha"] = "f32"
+        jax.clear_caches()
 
     if png_panels is not None:
         from PIL import Image

@@ -34,6 +34,11 @@ ALPHA_MAX = 0.99
 class TileBlendOut(NamedTuple):
     color: jnp.ndarray  # (T, P, 3)
     final_t: jnp.ndarray  # (T, P)
+    # per-pixel count of alpha-blended contributions (the reference's
+    # ImageState.n_contrib, rasterizer_impl.cu:172-179: its backward walks
+    # each pixel's list back from this index; our backward reconstructs
+    # transmittance from logT instead, so this is a debug/parity output)
+    n_contrib: jnp.ndarray
 
 
 def dense_tile_instances(gauss_id, offsets, max_per_tile, counts=None):
@@ -77,7 +82,11 @@ def blend_tile_block(px, py, xy, conic, rgb, op, valid, bg):
     color = jnp.einsum("tpm,tmc->tpc", w, rgb)
     final_t = jnp.exp(jnp.sum(log_omA, axis=-1))
     color = color + final_t[..., None] * bg[None, None, :]
-    return TileBlendOut(color=color, final_t=final_t)
+    # blended contributions: kept instances whose incoming T clears the
+    # 1e-4 termination threshold (forward.cu:335-351 semantics)
+    n_contrib = jnp.sum(
+        (alpha > 0.0) & (jnp.exp(logT) >= 1e-4), axis=-1).astype(jnp.int32)
+    return TileBlendOut(color=color, final_t=final_t, n_contrib=n_contrib)
 
 
 def render_tiles_jnp(
@@ -85,6 +94,7 @@ def render_tiles_jnp(
     grid_x: int, grid_y: int, tile: int, bg,
     max_per_tile: int = 1024, tiles_per_block: int = 8,
     stride: int = 1, offx: int = 0, offy: int = 0, counts=None,
+    return_n_contrib: bool = False,
 ):
     """Full-image tile renderer in pure XLA. Returns (color (3, H, W),
     final_t (H, W)) with H = grid_y*tile, W = grid_x*tile (crop upstream).
@@ -131,4 +141,9 @@ def render_tiles_jnp(
     color = jnp.transpose(color, (4, 0, 2, 1, 3)).reshape(3, grid_y * pw, grid_x * pw)
     final_t = final_t.reshape(grid_y, grid_x, pw, pw)
     final_t = jnp.transpose(final_t, (0, 2, 1, 3)).reshape(grid_y * pw, grid_x * pw)
+    if return_n_contrib:
+        nc = out.n_contrib.reshape(-1, pw * pw)[:num_tiles]
+        nc = nc.reshape(grid_y, grid_x, pw, pw)
+        nc = jnp.transpose(nc, (0, 2, 1, 3)).reshape(grid_y * pw, grid_x * pw)
+        return color, final_t, nc
     return color, final_t

@@ -143,3 +143,49 @@ class TestTileRendererParity:
         )
         oracle = ref.render_naive(want, 48, 48, BG, pixel_chunk=512, exact_stop=False)
         np.testing.assert_allclose(got.color, oracle.color, atol=2e-5, rtol=1e-4)
+
+
+class TestNContrib:
+    def test_n_contrib_matches_naive_count(self):
+        """Per-pixel blended-contribution count (the reference's
+        ImageState.n_contrib) against a brute-force recount from the same
+        instance list."""
+        from gaussian_splatting_with_eye_tracking_tpu.ops import (
+            binning as binning_ops, tile_blend)
+
+        cam = make_camera(64, 64)
+        means, scales, quats, op, sh = make_random_gaussians(300, seed=3)
+        prep = preprocess(means, scales, quats, op, sh, 0, cam)
+        gx, gy = 2, 2
+        b = binning_ops.bin_gaussians(prep, gx, gy, max_instances=1 << 12)
+        color, final_t, nc = tile_blend.render_tiles_jnp(
+            prep.means2d, prep.conics, prep.rgb, prep.opacities,
+            b.gauss_id, b.offsets, gx, gy, 32, BG, max_per_tile=512,
+            return_n_contrib=True)
+        nc = np.asarray(nc)
+        assert nc.shape == (64, 64)
+        # recount at a few pixels with a scalar loop
+        off = np.asarray(b.offsets)
+        gid = np.asarray(b.gauss_id)
+        xy = np.asarray(prep.means2d); con = np.asarray(prep.conics)
+        opn = np.asarray(prep.opacities)
+        rng = np.random.default_rng(0)
+        for _ in range(12):
+            x, y = int(rng.integers(0, 64)), int(rng.integers(0, 64))
+            t = (y // 32) * gx + (x // 32)
+            T = 1.0
+            cnt = 0
+            for k in range(off[t], off[t + 1]):
+                g = gid[k]
+                dx, dy = xy[g, 0] - x, xy[g, 1] - y
+                p_ = -0.5 * (con[g, 0] * dx * dx + con[g, 2] * dy * dy) \
+                    - con[g, 1] * dx * dy
+                if p_ > 0:
+                    continue
+                a = min(0.99, opn[g] * np.exp(p_))
+                if a < 1.0 / 255.0:
+                    continue
+                if T >= 1e-4:
+                    cnt += 1
+                T *= 1.0 - a
+            assert nc[y, x] == cnt, (x, y, nc[y, x], cnt)
