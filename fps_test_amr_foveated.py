@@ -32,7 +32,7 @@ import fps_test
 def run_foveated_breakdown(state, max_sh_degree, active, width, height,
                            impl="auto", out_json="fps_data_foveated.json",
                            max_instances=1 << 20, use_gaze=False,
-                           decimation=(1, 1, 1, 1)):
+                           decimation=(1, 1, 1, 1), alpha_mode="f32"):
     import functools
 
     import jax
@@ -179,7 +179,8 @@ def run_foveated_breakdown(state, max_sh_degree, active, width, height,
           f"({'FASTER' if best < t_plain else 'SLOWER'})", flush=True)
 
     doc = {
-        "impl": impl, "width": width, "height": height,
+        "impl": impl, "alpha_mode": alpha_mode,
+        "width": width, "height": height,
         "levels": "gaze+percentile" if use_gaze else "percentile(25/50/90)",
         "num_gaussians": int(p.xyz.shape[0]),
         "steps_protocol": steps,
@@ -218,12 +219,21 @@ def main(argv=None):
                         default=[1, 1, 1, 1], metavar=("D1", "D2", "D3", "D4"),
                         help="per-level instance-stream decimation "
                              "(powers of two; e.g. 4 2 1 1)")
+    parser.add_argument("--alpha", default="f32",
+                        choices=("f32", "bf16", "bf16x"),
+                        help="TUNE['alpha'] kernel mode for this bench "
+                             "(bf16 = lossy fast path, quality documented "
+                             "by amr_quality_sweep.py)")
     args = parser.parse_args(argv)
+    if args.alpha != "f32":
+        from gaussian_splatting_with_eye_tracking_tpu.ops import pallas_blend
+        pallas_blend.TUNE["alpha"] = args.alpha
     state, deg, active = fps_test.load_or_synthetic(args)
     run_foveated_breakdown(state, deg, active, args.width, args.height,
                            max_instances=args.max_instances,
                            out_json=args.out_json, use_gaze=args.gaze,
-                           decimation=tuple(args.decimate))
+                           decimation=tuple(args.decimate),
+                           alpha_mode=args.alpha)
 
 
 if __name__ == "__main__":

@@ -410,7 +410,8 @@ def main():
 
     if args_cli.json:
         stage_sum = sum(r["ms"] for r in rows
-                        if not r["stage"].startswith(("sortmodel", "E2E")))
+                        if not r["stage"].startswith(("sortmodel", "E2E"))
+                        and "(alt)" not in r["stage"])
         doc = {
             "workload": {"W": W, "H": H, "N": N, "tile": TILE,
                          "max_instances": MAXI, "max_live": MAXL,
